@@ -1,0 +1,87 @@
+"""Engine configuration.
+
+The reference configures everything with compile-time ``#define``s
+(``MAX_BODIES 512`` ``inc/body.h:6``, ``MAX_PLAYERS 32`` ``inc/player.h:8``,
+8 contacts/pair ``src/main.c:675``, 120 Hz substep ``src/main.c:208``,
+gravity (0,-9.8,0) ``src/main.c:96``, contact surface parameters
+``src/main.c:684-687``). Here they are fields of a hashable frozen dataclass:
+capacities become static array shapes, so changing them triggers an XLA
+recompile — the documented TPU-native equivalent of recompiling the C game.
+
+ODE defaults the reference never overrides (and we therefore adopt):
+ERP = 0.2 and CFM = 1e-5 (single-precision ODE default), QuickStep's
+20 solver iterations, SOR relaxation 1.3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+
+class SolverKind(enum.Enum):
+    """Contact solver flavor.
+
+    * ``PGS`` — sequential projected Gauss-Seidel (ODE QuickStep ordering):
+      a ``lax.scan`` over contact rows. Matches ODE's convergence behavior
+      most closely; per-world sequential, so best for conformance runs.
+    * ``JACOBI`` — batched projected Jacobi with under-relaxation: every
+      contact row updates in parallel from the previous iterate. The
+      TPU-native throughput solver — one fused vector pass per iteration
+      across the whole world batch.
+    """
+
+    PGS = "pgs"
+    JACOBI = "jacobi"
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static engine parameters. Hashable → usable as a jit static arg."""
+
+    # --- capacities (static shapes) -------------------------------------
+    max_bodies: int = 512           # inc/body.h:6
+    max_pair_candidates: int = 2048  # broadphase survivor capacity (pairs)
+    max_contacts_per_pair: int = 8   # src/main.c:675 (dCollide MAX_CONTACTS)
+    max_contacts: int = 2048         # solver row capacity per world
+
+    # --- time stepping ---------------------------------------------------
+    dt: float = 1.0 / 120.0         # src/main.c:208 (120 Hz fixed substep)
+    gravity: tuple = (0.0, -9.8, 0.0)  # src/main.c:96
+
+    # --- solver ----------------------------------------------------------
+    solver: SolverKind = SolverKind.JACOBI
+    solver_iterations: int = 20      # ODE QuickStep default
+    sor_omega: float = 1.3           # ODE QuickStep default SOR relaxation
+    jacobi_omega: float = 1.0        # Jacobi under-relaxation (mass-split scaled)
+    erp: float = 0.2                 # ODE default (never overridden by ref)
+    cfm: float = 1e-5                # ODE dSINGLE default
+    max_correcting_vel: float = 1e30  # ODE dWorldSetContactMaxCorrectingVel default (inf)
+
+    # --- contact surface (reference NearCallback, src/main.c:684-687) ----
+    bounce: float = 0.2
+    bounce_vel: float = 0.1
+    mu: float = math.inf             # dInfinity friction
+    friction: bool = True
+
+    # --- numerics --------------------------------------------------------
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def num_pairs(self) -> int:
+        """Upper-triangular all-pairs count for max_bodies."""
+        n = self.max_bodies
+        return n * (n - 1) // 2
+
+
+# A small-world config handy for tests and the throughput benchmark
+# (BASELINE.md workload: 8192 worlds × 64 bodies).
+BENCH_CONFIG = EngineConfig(
+    max_bodies=64,
+    max_pair_candidates=512,
+    max_contacts=512,
+)

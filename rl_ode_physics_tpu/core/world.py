@@ -1,0 +1,252 @@
+"""World API: body management and the jitted step composition.
+
+Functional equivalents of the reference's world-management surface:
+
+* ``add_body``      — ``AddBody`` (``src/main.c:695-733``): free-slot scan,
+  dynamic body + geom, category/collide masks, optional kinematic flag.
+* ``add_body_map``  — ``AddBodyMap`` (``src/main.c:735-761``): static
+  (body-less) box geom from pos/Euler/size, used to build the grassPlane
+  arena. We implement the *correct* mask semantics (category=MAP,
+  collide=ALL); the reference's double-SetCategoryBits typo
+  (``src/main.c:751-752``) is observably equivalent (see SURVEY.md §2e).
+* ``release_body``  — ``ReleaseBody`` (``src/main.c:763``): frees a slot.
+* ``step``          — one 120 Hz substep: the reference's
+  ``dSpaceCollide; dWorldStep; dJointGroupEmpty`` triple
+  (``src/main.c:212-214``) as ``integrate ∘ solve ∘ narrow ∘ broad ∘ forces``.
+
+All functions are pure (state in → state out) and jit/vmap-safe, including
+``add_body``: the free-slot scan is an argmin over the occupancy mask, so
+bodies can be spawned *inside* a jitted server tick from a device-side
+spawn-request buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rl_ode_physics_tpu.core.config import EngineConfig, SolverKind
+from rl_ode_physics_tpu.core.state import (
+    BodyType,
+    CollMask,
+    WorldState,
+    default_mass,
+    sphere_mass,
+    box_mass,
+    capsule_mass,
+)
+from rl_ode_physics_tpu.ops import broadphase as bp
+from rl_ode_physics_tpu.ops import narrowphase as np_ops
+from rl_ode_physics_tpu.ops import solver as solver_ops
+from rl_ode_physics_tpu.ops import integrator
+from rl_ode_physics_tpu.utils import quat as quat_m
+
+
+# ---------------------------------------------------------------------------
+# Body management
+# ---------------------------------------------------------------------------
+
+def _free_slot(state: WorldState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(slot, found): lowest free slot, like the reference's linear scan
+    (``src/main.c:696-699``). jit-safe: argmax over the free mask."""
+    free = ~state.active
+    slot = jnp.argmax(free).astype(jnp.int32)
+    found = jnp.any(free)
+    return jnp.where(found, slot, -1), found
+
+
+def _set_slot(state: WorldState, i, **fields) -> WorldState:
+    updates = {}
+    for name, value in fields.items():
+        arr = getattr(state, name)
+        updates[name] = arr.at[i].set(jnp.asarray(value, arr.dtype))
+    return state.replace(**updates)
+
+
+def add_body(
+    state: WorldState,
+    body_type,
+    pos,
+    size,
+    quat=None,
+    *,
+    category=int(CollMask.OBJ),
+    collide=int(CollMask.OBJ) | int(CollMask.MAP),
+    kinematic=False,
+    color=(255, 255, 255, 255),
+    linvel=(0.0, 0.0, 0.0),
+    angvel=(0.0, 0.0, 0.0),
+    auto_mass: bool = False,
+    density: float = 1.0,
+) -> Tuple[WorldState, jnp.ndarray]:
+    """Spawn a dynamic (or kinematic) body; returns (state, slot|-1).
+
+    Defaults mirror the reference's ``AddBody(…, CMASK_OBJ, CMASK_OBJ |
+    CMASK_MAP, …)`` call (``src/main.c:181``). Like the reference — which
+    never calls dMassSet* after ``dBodyCreate`` (``src/main.c:703``) — the
+    default mass is ODE's dBodyCreate default (m=1, I=identity);
+    ``auto_mass=True`` computes physical density-based mass instead.
+    """
+    slot, found = _free_slot(state)
+    i = jnp.where(found, slot, 0)
+
+    dtype = state.pos.dtype
+    pos = jnp.asarray(pos, dtype)
+    size = jnp.asarray(size, dtype)
+    q = quat_m.identity(dtype) if quat is None else jnp.asarray(quat, dtype)
+    body_type = jnp.asarray(body_type, jnp.int32)
+
+    if auto_mass:
+        m_s, i_s = sphere_mass(size[0], density)
+        m_b, i_b = box_mass(size, density)
+        m_c, i_c = capsule_mass(size[0], size[1], density)
+        is_s = body_type == BodyType.SPHERE
+        is_b = body_type == BodyType.BOX
+        mass = jnp.where(is_s, m_s, jnp.where(is_b, m_b, m_c))
+        inertia = jnp.where(is_s, i_s, jnp.where(is_b, i_b, i_c))
+    else:
+        mass, inertia = default_mass(dtype)
+
+    inv_mass = jnp.where(kinematic, 0.0, 1.0 / mass)
+    inv_inertia = jnp.where(kinematic, jnp.zeros(3, dtype), 1.0 / inertia)
+
+    new = _set_slot(
+        state, i,
+        pos=pos, quat=q, size=size,
+        linvel=jnp.asarray(linvel, dtype), angvel=jnp.asarray(angvel, dtype),
+        force=jnp.zeros(3, dtype), torque=jnp.zeros(3, dtype),
+        inv_mass=inv_mass, inv_inertia=inv_inertia,
+        body_type=body_type,
+        category=jnp.asarray(category, jnp.uint32),
+        collide=jnp.asarray(collide, jnp.uint32),
+        is_static=False, is_kinematic=bool(kinematic),
+        color=jnp.asarray(color, jnp.uint8),
+    )
+    state = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(found, n, o), new, state
+    )
+    return state, jnp.where(found, slot, -1)
+
+
+def add_body_map(
+    state: WorldState,
+    pos,
+    rot_euler,
+    size,
+    color=(80, 80, 80, 255),
+) -> Tuple[WorldState, jnp.ndarray]:
+    """Static box geom for the arena — ``AddBodyMap`` (``src/main.c:735``).
+
+    Static geoms have no body (``body->body = NULL``, ``src/main.c:753``):
+    here that is ``is_static=True`` with zero inverse mass/inertia.
+    Orientation comes from Euler XYZ angles like ``GetTransformMatV``.
+    """
+    slot, found = _free_slot(state)
+    i = jnp.where(found, slot, 0)
+    dtype = state.pos.dtype
+
+    q = quat_m.from_euler_xyz(jnp.asarray(rot_euler, dtype))
+    new = _set_slot(
+        state, i,
+        pos=jnp.asarray(pos, dtype), quat=q, size=jnp.asarray(size, dtype),
+        linvel=jnp.zeros(3, dtype), angvel=jnp.zeros(3, dtype),
+        force=jnp.zeros(3, dtype), torque=jnp.zeros(3, dtype),
+        inv_mass=0.0, inv_inertia=jnp.zeros(3, dtype),
+        body_type=int(BodyType.BOX),
+        category=jnp.asarray(int(CollMask.MAP), jnp.uint32),
+        collide=jnp.asarray(int(CollMask.ALL) & 0xFFFFFFFF, jnp.uint32),
+        is_static=True, is_kinematic=False,
+        color=jnp.asarray(color, jnp.uint8),
+    )
+    state = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(found, n, o), new, state
+    )
+    return state, jnp.where(found, slot, -1)
+
+
+def release_body(state: WorldState, slot) -> WorldState:
+    """Free a slot (``ReleaseBody``, ``src/main.c:763``): type → NULL."""
+    return _set_slot(state, slot, body_type=int(BodyType.NULL))
+
+
+def add_force(state: WorldState, slot, force) -> WorldState:
+    """dBodyAddForce analog (accumulator, cleared by the integrator)."""
+    return state.replace(
+        force=state.force.at[slot].add(jnp.asarray(force, state.force.dtype))
+    )
+
+
+def add_torque(state: WorldState, slot, torque) -> WorldState:
+    return state.replace(
+        torque=state.torque.at[slot].add(jnp.asarray(torque, state.torque.dtype))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step composition
+# ---------------------------------------------------------------------------
+
+def step(state: WorldState, config: EngineConfig) -> WorldState:
+    """One fixed 120 Hz substep (``src/main.c:212-214`` pipeline).
+
+    collide-then-step like ODE: contacts are generated from current
+    positions, forces/gravity advance velocities, the solver corrects them
+    impulsively, positions integrate with the corrected velocities. Contacts
+    are per-step transients (no warm starting) — matching the reference's
+    ``dJointGroupEmpty`` every substep.
+    """
+    cand = bp.broadphase(state, config)
+    contacts = np_ops.narrowphase(state, cand, config)
+    state = integrator.apply_external_forces(state, config)
+    state = solver_ops.solve(state, contacts, config)
+    state = integrator.integrate_positions(state, config)
+    return state
+
+
+def step_with_diagnostics(state: WorldState, config: EngineConfig):
+    """step() that also returns per-tick observability counters
+    (SURVEY.md §5 metrics plan: contacts, penetration, overflow, energy)."""
+    cand = bp.broadphase(state, config)
+    contacts = np_ops.narrowphase(state, cand, config)
+    state = integrator.apply_external_forces(state, config)
+    state = solver_ops.solve(state, contacts, config)
+    state = integrator.integrate_positions(state, config)
+
+    dyn = state.dynamic
+    m = jnp.where(state.inv_mass > 0, 1.0 / jnp.maximum(state.inv_mass, 1e-30), 0.0)
+    kinetic = 0.5 * jnp.sum(
+        m * jnp.where(dyn, jnp.sum(state.linvel**2, axis=-1), 0.0)
+    )
+    metrics = dict(
+        num_pairs=cand.count,
+        num_contacts=contacts.count,
+        pair_overflow=cand.overflow,
+        contact_overflow=contacts.overflow,
+        max_penetration=jnp.max(jnp.where(contacts.valid, contacts.depth, 0.0)),
+        kinetic_energy=kinetic,
+        num_bodies=jnp.sum(dyn.astype(jnp.int32)),
+    )
+    return state, metrics
+
+
+def make_step_fn(config: EngineConfig, substeps: int = 1, donate: bool = True):
+    """Compile a (possibly multi-substep) step: state → state.
+
+    ``substeps > 1`` rolls the fixed-dt substep loop into the compiled
+    program with ``lax.scan`` (the accumulator loop of ``src/main.c:211-216``
+    without host round-trips — on TPU the whole 120 Hz cadence between 60 Hz
+    snapshots is one device launch). ``donate`` enables XLA buffer donation
+    so the world state updates in place in HBM.
+    """
+    def fn(state: WorldState) -> WorldState:
+        if substeps == 1:
+            return step(state, config)
+        def body(s, _):
+            return step(s, config), None
+        state, _ = jax.lax.scan(body, state, None, length=substeps)
+        return state
+
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

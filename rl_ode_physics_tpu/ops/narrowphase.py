@@ -1,0 +1,591 @@
+"""Narrowphase: primitive contact generation with static-shape manifolds.
+
+TPU-native replacement for ODE's ``dCollide`` (reference call:
+``src/main.c:678``, 8 contacts/pair). Every pair function returns a
+fixed-capacity manifold — ``K = max_contacts_per_pair`` slots of
+(point, normal, depth, valid) — so the whole narrowphase is one
+``vmap``-batched, branch-free tensor program: per-pair type dispatch is mask
+selection, not control flow (all pair kernels are evaluated and the right
+one selected; with ≤6 primitive types this trades a small amount of FLOPs —
+cheap on the VPU — for zero divergence and static shapes).
+
+Conventions
+-----------
+* Contact normal points from body A toward body B; a positive impulse along
+  the normal pushes them apart.
+* ``depth > 0`` means penetration (matches ODE's ``dContactGeom.depth``).
+* Capsules are aligned with their local Z axis (ODE direction 3); their
+  ``size`` is (radius, cylinder_length, -).
+* Planes use their local Z as the world normal via orientation.
+
+Pair coverage: sphere/box/capsule/plane in all combinations (box-box via SAT
+with ODE-style reference-face clipping and edge-edge closest points; fudge
+factor 1.05 preferring face axes like ODE's dBoxBox). Trimesh collision
+lives in ``ops/trimesh.py`` (Pallas-tiled) because its data layout differs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rl_ode_physics_tpu.core.config import EngineConfig
+from rl_ode_physics_tpu.core.state import BodyType, WorldState
+from rl_ode_physics_tpu.ops.broadphase import PairCandidates
+from rl_ode_physics_tpu.utils import quat as quat_m
+
+_EPS = 1e-9
+
+
+@struct.dataclass
+class Contacts:
+    """Static-capacity contact rows for the solver (per world)."""
+
+    point: jnp.ndarray   # (C, 3)
+    normal: jnp.ndarray  # (C, 3) from body a toward body b
+    depth: jnp.ndarray   # (C,)
+    a: jnp.ndarray       # (C,) int32 body slot
+    b: jnp.ndarray       # (C,) int32 body slot
+    valid: jnp.ndarray   # (C,) bool
+    count: jnp.ndarray   # () int32
+    overflow: jnp.ndarray  # () int32 — contacts dropped at capacity
+
+
+def _pad_manifold(points, normals, depths, valid, k: int):
+    """Pad an (m, …) manifold to (k, …)."""
+    m = points.shape[0]
+    if m == k:
+        return points, normals, depths, valid
+    pad = k - m
+    return (
+        jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)], 0),
+        jnp.concatenate([normals, jnp.zeros((pad, 3), normals.dtype)], 0),
+        jnp.concatenate([depths, jnp.zeros((pad,), depths.dtype)], 0),
+        jnp.concatenate([valid, jnp.zeros((pad,), bool)], 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Primitive pair kernels (single pair; vmapped by `narrowphase`)
+# Each returns (points (k,3), normals (k,3), depths (k,), valid (k,)).
+# ---------------------------------------------------------------------------
+
+def _sphere_sphere(pa, qa, sa, pb, qb, sb, k):
+    ra, rb = sa[0], sb[0]
+    d = pb - pa
+    dist = jnp.linalg.norm(d)
+    n = d / jnp.maximum(dist, _EPS)
+    # coincident centers: deterministic up-normal fallback
+    n = jnp.where(dist > _EPS, n, jnp.array([0.0, 1.0, 0.0], d.dtype))
+    depth = ra + rb - dist
+    point = pa + n * (ra - 0.5 * depth)
+    return _pad_manifold(point[None], n[None], depth[None],
+                         (depth > 0.0)[None], k)
+
+
+def _sphere_box_core(center, radius, pb, rb_mat, half):
+    """Sphere vs oriented box; returns (point, normal a→b, depth)."""
+    p_local = rb_mat.T @ (center - pb)
+    clamped = jnp.clip(p_local, -half, half)
+    delta = p_local - clamped
+    dist = jnp.linalg.norm(delta)
+    outside = dist > _EPS
+
+    # outside: normal (sphere→box) is -delta/dist
+    n_local_out = -delta / jnp.maximum(dist, _EPS)
+    depth_out = radius - dist
+
+    # center inside box: push out along the closest face
+    face_dist = half - jnp.abs(p_local)       # (3,) ≥ 0 inside
+    ax = jnp.argmin(face_dist)
+    sign = jnp.where(p_local[ax] >= 0.0, 1.0, -1.0)
+    n_local_in = jnp.zeros(3, p_local.dtype).at[ax].set(sign)
+    depth_in = radius + face_dist[ax]
+
+    n_local = jnp.where(outside, n_local_out, n_local_in)
+    depth = jnp.where(outside, depth_out, depth_in)
+    surf_local = jnp.where(outside, clamped,
+                           p_local + n_local_in * face_dist[ax])
+    point = pb + rb_mat @ surf_local
+    n_world = rb_mat @ n_local
+    return point, n_world, depth
+
+
+def _sphere_box(pa, qa, sa, pb, qb, sb, k):
+    point, n, depth = _sphere_box_core(
+        pa, sa[0], pb, quat_m.to_matrix(qb), 0.5 * sb
+    )
+    return _pad_manifold(point[None], n[None], depth[None],
+                         (depth > 0.0)[None], k)
+
+
+def _plane_params(p, q):
+    """Plane world normal (local +Z) and offset d with n·x = d."""
+    n = quat_m.to_matrix(q)[:, 2]
+    return n, jnp.dot(n, p)
+
+
+def _sphere_plane(pa, qa, sa, pb, qb, sb, k):
+    n_p, d_p = _plane_params(pb, qb)
+    h = jnp.dot(n_p, pa) - d_p
+    depth = sa[0] - h
+    point = pa - n_p * h
+    return _pad_manifold(point[None], (-n_p)[None], depth[None],
+                         (depth > 0.0)[None], k)
+
+
+_BOX_CORNERS = jnp.array(
+    [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+     for sz in (-1.0, 1.0)]
+)  # (8, 3)
+
+
+def _box_plane(pa, qa, sa, pb, qb, sb, k):
+    n_p, d_p = _plane_params(pb, qb)
+    ra = quat_m.to_matrix(qa)
+    corners = pa + (_BOX_CORNERS * (0.5 * sa)) @ ra.T   # (8, 3)
+    depths = d_p - corners @ n_p
+    valid = depths > 0.0
+    normals = jnp.broadcast_to(-n_p, (8, 3))
+    pts, nrm, dep, val = corners, normals, depths, valid
+    if k < 8:
+        # keep the k deepest (deterministic top-k)
+        top = jax.lax.top_k(dep, k)[1]
+        pts, nrm, dep, val = pts[top], nrm[top], dep[top], val[top]
+        return pts, nrm, dep, val
+    return _pad_manifold(pts, nrm, dep, val, k)
+
+
+def _segment_endpoints(p, q, length):
+    """World endpoints of a capsule's core segment (local Z axis)."""
+    axis = quat_m.to_matrix(q)[:, 2]
+    h = 0.5 * length
+    return p - axis * h, p + axis * h, axis
+
+
+def _closest_on_segment(a0, a1, p):
+    d = a1 - a0
+    t = jnp.dot(p - a0, d) / jnp.maximum(jnp.dot(d, d), _EPS)
+    return a0 + jnp.clip(t, 0.0, 1.0) * d
+
+
+def _segment_segment(p0, p1, q0, q1):
+    """Closest points between segments [p0,p1] and [q0,q1] (branch-free)."""
+    d1 = p1 - p0
+    d2 = q1 - q0
+    r = p0 - q0
+    a = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    f = jnp.dot(d2, r)
+    c = jnp.dot(d1, r)
+    b = jnp.dot(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(denom > _EPS, jnp.clip((b * f - c * e) / jnp.maximum(denom, _EPS), 0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(e, _EPS)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip((b * t_cl - c) / jnp.maximum(a, _EPS), 0.0, 1.0)
+    return p0 + s * d1, q0 + t_cl * d2
+
+
+def _sphere_capsule(pa, qa, sa, pb, qb, sb, k):
+    b0, b1, _ = _segment_endpoints(pb, qb, sb[1])
+    closest = _closest_on_segment(b0, b1, pa)
+    return _sphere_sphere(pa, qa, sa, closest, qb, sb, k)
+
+
+def _capsule_capsule(pa, qa, sa, pb, qb, sb, k):
+    a0, a1, _ = _segment_endpoints(pa, qa, sa[1])
+    b0, b1, _ = _segment_endpoints(pb, qb, sb[1])
+    ca, cb = _segment_segment(a0, a1, b0, b1)
+    return _sphere_sphere(ca, qa, sa, cb, qb, sb, k)
+
+
+def _capsule_plane(pa, qa, sa, pb, qb, sb, k):
+    """Both cap spheres vs the plane → up to 2 contacts (stable lying pose)."""
+    n_p, d_p = _plane_params(pb, qb)
+    a0, a1, _ = _segment_endpoints(pa, qa, sa[1])
+    r = sa[0]
+    pts, nrms, deps, vals = [], [], [], []
+    for e in (a0, a1):
+        h = jnp.dot(n_p, e) - d_p
+        depth = r - h
+        pts.append(e - n_p * h)
+        nrms.append(-n_p)
+        deps.append(depth)
+        vals.append(depth > 0.0)
+    return _pad_manifold(jnp.stack(pts), jnp.stack(nrms),
+                         jnp.stack(deps), jnp.stack(vals), k)
+
+
+def _capsule_box(pa, qa, sa, pb, qb, sb, k):
+    """Capsule vs box: cap-sphere tests at both endpoints plus the segment
+    point closest to the box (3 candidate contacts, deduplicated by mask)."""
+    rb = quat_m.to_matrix(qb)
+    half = 0.5 * sb
+    r = sa[0]
+    a0, a1, _ = _segment_endpoints(pa, qa, sa[1])
+
+    # point on segment closest to box center as the third probe
+    mid = _closest_on_segment(a0, a1, pb)
+
+    pts, nrms, deps, vals = [], [], [], []
+    for probe in (a0, a1, mid):
+        point, n, depth = _sphere_box_core(probe, r, pb, rb, half)
+        pts.append(point)
+        nrms.append(n)
+        deps.append(depth)
+        vals.append(depth > 0.0)
+    pts = jnp.stack(pts)
+    nrms = jnp.stack(nrms)
+    deps = jnp.stack(deps)
+    vals = jnp.stack(vals)
+    # drop the mid probe when it coincides with an endpoint probe
+    dup = (jnp.linalg.norm(mid - a0) < 1e-6) | (jnp.linalg.norm(mid - a1) < 1e-6)
+    vals = vals.at[2].set(vals[2] & ~dup)
+    return _pad_manifold(pts, nrms, deps, vals, k)
+
+
+# ---------------------------------------------------------------------------
+# Box-box: SAT + reference-face clipping (ODE dBoxBox structure)
+# ---------------------------------------------------------------------------
+
+def _clip_quad_to_rect(quad, hx, hy):
+    """Sutherland-Hodgman clip of a 2D quad against |x|≤hx, |y|≤hy.
+
+    Static shapes: vertex buffer capacity 8 (4 verts + ≤1 new vertex per
+    clip plane), masked counts. Returns (verts (8,2), count).
+    """
+    cap = 8
+    verts = jnp.zeros((cap, 2), quad.dtype).at[:4].set(quad)
+    count = jnp.asarray(4, jnp.int32)
+
+    # planes: (a, b, c) with inside iff a*x + b*y <= c
+    planes = jnp.stack([
+        jnp.array([1.0, 0.0], quad.dtype), jnp.array([-1.0, 0.0], quad.dtype),
+        jnp.array([0.0, 1.0], quad.dtype), jnp.array([0.0, -1.0], quad.dtype),
+    ])
+    limits = jnp.stack([hx, hx, hy, hy])
+
+    def clip_one(carry, plane_i):
+        verts, count = carry
+        ab = planes[plane_i]
+        c = limits[plane_i]
+
+        def body(i, acc):
+            out_v, out_n = acc
+            cur = verts[i]
+            nxt_i = jnp.where(i + 1 >= count, 0, i + 1)
+            nxt = verts[nxt_i]
+            in_cur = jnp.dot(ab, cur) <= c
+            in_nxt = jnp.dot(ab, nxt) <= c
+            live = i < count
+
+            # emit cur if inside
+            emit1 = live & in_cur
+            out_v = out_v.at[jnp.where(emit1, out_n, cap)].set(cur, mode="drop")
+            out_n = out_n + emit1.astype(jnp.int32)
+
+            # emit intersection if edge crosses the plane
+            denom = jnp.dot(ab, nxt - cur)
+            t = (c - jnp.dot(ab, cur)) / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+            inter = cur + jnp.clip(t, 0.0, 1.0) * (nxt - cur)
+            emit2 = live & (in_cur != in_nxt) & (jnp.abs(denom) > _EPS)
+            out_v = out_v.at[jnp.where(emit2, out_n, cap)].set(inter, mode="drop")
+            out_n = out_n + emit2.astype(jnp.int32)
+            return out_v, out_n
+
+        out0 = (jnp.zeros((cap + 1, 2), verts.dtype), jnp.asarray(0, jnp.int32))
+        out_v, out_n = jax.lax.fori_loop(0, cap, body, out0)
+        return (out_v[:cap], jnp.minimum(out_n, cap)), None
+
+    (verts, count), _ = jax.lax.scan(
+        clip_one, (verts, count), jnp.arange(4)
+    )
+    return verts, count
+
+
+def _box_box(pa, qa, sa, pb, qb, sb, k):
+    """SAT over 15 axes, ODE axis-selection order and 1.05 face-preference
+    fudge, then reference-face clipping (face case) or edge-edge closest
+    point (edge case). Mirrors the structure of ODE's dBoxBox."""
+    dtype = pa.dtype
+    ra = quat_m.to_matrix(qa)
+    rb = quat_m.to_matrix(qb)
+    ha = 0.5 * sa
+    hb = 0.5 * sb
+
+    t_world = pb - pa
+    t = ra.T @ t_world                     # B center in A frame
+    c = ra.T @ rb                          # B orientation in A frame
+    absc = jnp.abs(c) + 1e-6
+
+    # --- face axes of A (A-frame unit axes) ---
+    sep_a = jnp.abs(t) - (ha + absc @ hb)            # (3,) separation (<0 ⇒ overlap)
+    # --- face axes of B ---
+    t_b = c.T @ t
+    sep_b = jnp.abs(t_b) - (hb + absc.T @ ha)        # (3,)
+
+    # --- edge axes u = e_i × C[:, j] in A frame ---
+    def edge_axis(i, j):
+        col = c[:, j]
+        e = jnp.zeros(3, dtype).at[i].set(1.0)
+        u = jnp.cross(e, col)
+        norm = jnp.linalg.norm(u)
+        ok = norm > 1e-6
+        un = u / jnp.maximum(norm, _EPS)
+        proj_a = jnp.dot(ha, jnp.abs(un))
+        proj_b = jnp.dot(hb, jnp.abs(un @ c))
+        sep = jnp.abs(jnp.dot(t, un)) - (proj_a + proj_b)
+        return un, sep, ok
+
+    edge_units, edge_seps, edge_oks = [], [], []
+    for i in range(3):
+        for j in range(3):
+            u, s, ok = edge_axis(i, j)
+            edge_units.append(u)
+            edge_seps.append(s)
+            edge_oks.append(ok)
+    edge_units = jnp.stack(edge_units)       # (9, 3) in A frame
+    edge_seps = jnp.stack(edge_seps)         # (9,)
+    edge_oks = jnp.stack(edge_oks)           # (9,)
+
+    all_seps = jnp.concatenate([sep_a, sep_b, jnp.where(edge_oks, edge_seps, -jnp.inf)])
+    separated = jnp.max(all_seps) > 0.0
+
+    # ODE-style sequential axis choice: larger separation wins; edge axes
+    # must beat the best face separation by the 1.05 fudge factor.
+    fudge = 1.05
+    best_face_sep = jnp.max(jnp.concatenate([sep_a, sep_b]))
+    best_face_code = jnp.argmax(jnp.concatenate([sep_a, sep_b]))
+    edge_adj = jnp.where(edge_oks, edge_seps * jnp.where(edge_seps < 0, 1.0 / fudge, fudge), -jnp.inf)
+    best_edge_idx = jnp.argmax(edge_adj)
+    use_edge = edge_adj[best_edge_idx] > best_face_sep
+
+    # --------------------------- edge-edge case ---------------------------
+    u_a = edge_units[best_edge_idx]                   # axis in A frame
+    sign_e = jnp.where(jnp.dot(u_a, t) >= 0.0, 1.0, -1.0)
+    n_a = u_a * sign_e                                # from A toward B, A frame
+    n_world_edge = ra @ n_a
+    ei = best_edge_idx // 3                           # edge direction index on A
+    ej = best_edge_idx % 3                            # edge direction index on B
+
+    # supporting edge on A: corner most along +n_a, direction e_{ei}
+    sgn_a = jnp.where(n_a >= 0.0, 1.0, -1.0).at[ei].set(0.0)
+    pa_sup = pa + ra @ (sgn_a * ha)
+    da = ra[:, ei]
+    a0 = pa_sup - da * ha[ei]
+    a1 = pa_sup + da * ha[ei]
+
+    n_b_frame = -(c.T @ n_a)                          # from B toward A in B frame
+    sgn_b = jnp.where(n_b_frame >= 0.0, 1.0, -1.0).at[ej].set(0.0)
+    pb_sup = pb + rb @ (sgn_b * hb)
+    db = rb[:, ej]
+    b0 = pb_sup - db * hb[ej]
+    b1 = pb_sup + db * hb[ej]
+
+    ca, cb = _segment_segment(a0, a1, b0, b1)
+    edge_point = 0.5 * (ca + cb)
+    edge_depth = -edge_adj[best_edge_idx] / jnp.where(edge_adj[best_edge_idx] < 0, 1.0 / fudge, fudge)
+    edge_depth = -edge_seps[best_edge_idx]
+
+    # --------------------------- face case --------------------------------
+    # Reference box R (owns the face), incident box I.
+    face_is_a = best_face_code < 3
+    axis_idx = jnp.where(face_is_a, best_face_code, best_face_code - 3)
+
+    r_ref = jnp.where(face_is_a, ra, rb)
+    r_inc = jnp.where(face_is_a, rb, ra)
+    p_ref = jnp.where(face_is_a, pa, pb)
+    p_inc = jnp.where(face_is_a, pb, pa)
+    h_ref = jnp.where(face_is_a, ha, hb)
+    h_inc = jnp.where(face_is_a, hb, ha)
+
+    # face normal on reference box pointing toward the incident box
+    axes_ref = r_ref.T                                 # rows = world axes of ref
+    n_ref_raw = axes_ref[axis_idx]
+    to_inc = p_inc - p_ref
+    sign_f = jnp.where(jnp.dot(n_ref_raw, to_inc) >= 0.0, 1.0, -1.0)
+    n_ref = n_ref_raw * sign_f                         # world, ref → inc
+    # contact normal must point A→B
+    n_world_face = jnp.where(face_is_a, n_ref, -n_ref)
+
+    # build the reference-face in-plane basis (the other two axes)
+    idx0 = jnp.where(axis_idx == 0, 1, 0)
+    idx1 = jnp.where(axis_idx == 2, 1, 2)
+    u0 = axes_ref[idx0]
+    u1 = axes_ref[idx1]
+    hu0 = h_ref[idx0]
+    hu1 = h_ref[idx1]
+    face_center = p_ref + n_ref * h_ref[axis_idx]
+
+    # incident face: the incident-box axis most anti-parallel to n_ref
+    axes_inc = r_inc.T
+    align = axes_inc @ n_ref                           # (3,)
+    inc_axis = jnp.argmax(jnp.abs(align))
+    inc_sign = -jnp.sign(align[inc_axis])              # face whose normal opposes n_ref
+    inc_center = p_inc + axes_inc[inc_axis] * inc_sign * h_inc[inc_axis]
+    j0 = jnp.where(inc_axis == 0, 1, 0)
+    j1 = jnp.where(inc_axis == 2, 1, 2)
+    v0 = axes_inc[j0] * h_inc[j0]
+    v1 = axes_inc[j1] * h_inc[j1]
+    quad_world = jnp.stack([
+        inc_center + v0 + v1,
+        inc_center + v0 - v1,
+        inc_center - v0 - v1,
+        inc_center - v0 + v1,
+    ])                                                  # (4, 3)
+
+    # project incident quad onto the reference face plane coordinates
+    rel = quad_world - face_center
+    quad2d = jnp.stack([rel @ u0, rel @ u1], axis=-1)   # (4, 2)
+
+    verts2d, nverts = _clip_quad_to_rect(quad2d, hu0, hu1)
+
+    # lift back to 3D on the *incident* face plane to compute depth
+    # depth of a clipped point = distance of the corresponding incident-face
+    # point below the reference face.
+    inc_n = axes_inc[inc_axis] * inc_sign               # incident face normal (world)
+    denom = jnp.dot(inc_n, n_ref)
+    # point on incident face with in-plane coords (x, y):
+    # p = face_center + x*u0 + y*u1 + z*n_ref, where z solves the incident plane
+    d_inc = jnp.dot(inc_n, inc_center)
+
+    def lift(v2):
+        base = face_center + v2[0] * u0 + v2[1] * u1
+        z = (d_inc - jnp.dot(inc_n, base)) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0)
+        return base + z * n_ref, -z                     # depth = -z (below face)
+
+    lifted, depths_face = jax.vmap(lift)(verts2d)       # (8,3), (8,)
+    slot = jnp.arange(8)
+    valid_face = (slot < nverts) & (depths_face > 0.0)
+    # ODE places face-case contacts on the incident face, shifted halfway
+    points_face = lifted - 0.5 * depths_face[..., None] * n_ref
+
+    # --------------------------- combine ----------------------------------
+    points = jnp.where(use_edge, jnp.broadcast_to(edge_point, (8, 3)), points_face)
+    normals = jnp.broadcast_to(jnp.where(use_edge, n_world_edge, n_world_face), (8, 3))
+    depths = jnp.where(use_edge,
+                       jnp.concatenate([edge_depth[None], jnp.zeros(7, dtype)]),
+                       depths_face)
+    valid = jnp.where(use_edge,
+                      jnp.concatenate([(edge_depth > 0.0)[None], jnp.zeros(7, bool)]),
+                      valid_face)
+    valid = valid & ~separated
+
+    if k < 8:
+        top = jax.lax.top_k(jnp.where(valid, depths, -jnp.inf), k)[1]
+        return points[top], normals[top], depths[top], valid[top]
+    return _pad_manifold(points, normals, depths, valid, k)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+# (type_a, type_b) → kernel, for canonical ordering type_a ≤ type_b
+_PAIR_KERNELS = {
+    (int(BodyType.SPHERE), int(BodyType.SPHERE)): _sphere_sphere,
+    (int(BodyType.SPHERE), int(BodyType.BOX)): _sphere_box,
+    (int(BodyType.SPHERE), int(BodyType.CAPSULE)): _sphere_capsule,
+    (int(BodyType.SPHERE), int(BodyType.PLANE)): _sphere_plane,
+    (int(BodyType.BOX), int(BodyType.BOX)): _box_box,
+    (int(BodyType.BOX), int(BodyType.CAPSULE)): lambda pa, qa, sa, pb, qb, sb, k: _flip(_capsule_box(pb, qb, sb, pa, qa, sa, k)),
+    (int(BodyType.BOX), int(BodyType.PLANE)): _box_plane,
+    (int(BodyType.CAPSULE), int(BodyType.CAPSULE)): _capsule_capsule,
+    (int(BodyType.CAPSULE), int(BodyType.PLANE)): _capsule_plane,
+}
+
+
+def _flip(manifold):
+    points, normals, depths, valid = manifold
+    return points, -normals, depths, valid
+
+
+def collide_pair(pos_a, quat_a, type_a, size_a,
+                 pos_b, quat_b, type_b, size_b, k: int):
+    """Contact manifold for one body pair (branch-free type dispatch).
+
+    Canonicalizes so the lower type code is A (normals flipped back when
+    swapped), evaluates every applicable kernel, selects by type mask.
+    """
+    swap = type_a > type_b
+    pa = jnp.where(swap, pos_b, pos_a)
+    pb = jnp.where(swap, pos_a, pos_b)
+    qa = jnp.where(swap, quat_b, quat_a)
+    qb = jnp.where(swap, quat_a, quat_b)
+    sa = jnp.where(swap, size_b, size_a)
+    sb = jnp.where(swap, size_a, size_b)
+    ta = jnp.where(swap, type_b, type_a)
+    tb = jnp.where(swap, type_a, type_b)
+
+    points = jnp.zeros((k, 3), pos_a.dtype)
+    normals = jnp.zeros((k, 3), pos_a.dtype)
+    depths = jnp.zeros((k,), pos_a.dtype)
+    valid = jnp.zeros((k,), bool)
+
+    for (t1, t2), kernel in _PAIR_KERNELS.items():
+        sel = (ta == t1) & (tb == t2)
+        p, n, d, v = kernel(pa, qa, sa, pb, qb, sb, k)
+        points = jnp.where(sel, p, points)
+        normals = jnp.where(sel, n, normals)
+        depths = jnp.where(sel, d, depths)
+        valid = jnp.where(sel, v, valid)
+
+    # un-swap: normal must point from (original) a toward b
+    normals = jnp.where(swap, -normals, normals)
+    return points, normals, depths, valid
+
+
+def narrowphase(state: WorldState, cand: PairCandidates,
+                config: EngineConfig) -> Contacts:
+    """Run pair kernels on broadphase candidates; compact into contact rows.
+
+    Two-stage static-shape pipeline (SURVEY.md §7 step 3): gather candidate
+    pair bodies → vmapped manifold kernels (CP, K) → deterministic cumsum
+    compaction into the (C,) solver buffer. Equivalent in role to the
+    reference's NearCallback + dJointCreateContact loop
+    (``src/main.c:674-693``), minus the pointer graph.
+    """
+    k = config.max_contacts_per_pair
+    ccap = config.max_contacts
+    ia, ib = cand.ia, cand.ib
+
+    points, normals, depths, valid = jax.vmap(
+        collide_pair, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
+    )(
+        state.pos[ia], state.quat[ia], state.body_type[ia], state.size[ia],
+        state.pos[ib], state.quat[ib], state.body_type[ib], state.size[ib],
+        k,
+    )
+    valid = valid & cand.valid[:, None]
+
+    # flatten (CP, K) → (CP*K,) and compact to capacity C
+    cp = ia.shape[0]
+    flat_valid = valid.reshape(cp * k)
+    flat_points = points.reshape(cp * k, 3)
+    flat_normals = normals.reshape(cp * k, 3)
+    flat_depths = depths.reshape(cp * k)
+    flat_a = jnp.repeat(ia, k)
+    flat_b = jnp.repeat(ib, k)
+
+    order = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+    dest = jnp.where(flat_valid & (order < ccap), order, ccap)
+
+    def scat(src, fill=0.0):
+        shape = (ccap + 1,) + src.shape[1:]
+        return jnp.full(shape, fill, src.dtype).at[dest].set(src, mode="drop")[:ccap]
+
+    total = jnp.sum(flat_valid.astype(jnp.int32))
+    count = jnp.minimum(total, ccap)
+    slot = jnp.arange(ccap, dtype=jnp.int32)
+    return Contacts(
+        point=scat(flat_points),
+        normal=scat(flat_normals),
+        depth=scat(flat_depths),
+        a=scat(flat_a),
+        b=scat(flat_b),
+        valid=slot < count,
+        count=count,
+        overflow=jnp.maximum(total - ccap, 0),
+    )

@@ -1,0 +1,292 @@
+"""QuickStep-class contact solver: projected Gauss-Seidel and batched Jacobi.
+
+TPU-native re-derivation of the LCP stage inside ODE's step (driven by the
+reference at ``src/main.c:213``; surface parameters from its NearCallback,
+``src/main.c:684-687``: bounce 0.2, bounce_vel 0.1, mu = dInfinity). The
+solver works in impulse space on the velocity state the integrator has
+already advanced with external forces — the standard sequential-impulse
+formulation, equivalent to ODE's force-space QuickStep up to the dt scaling
+of lambda.
+
+Per contact row (normal n, arm r_a/r_b, bodies a, b):
+    v_n      = (v_b + w_b × r_b − v_a − w_a × r_a) · n
+    target   = max(erp/dt · depth  [capped by max_correcting_vel],
+                   bounce · (−v_n⁰)  if −v_n⁰ > bounce_vel)      (ODE rhs)
+    d        = m_a⁻¹ + m_b⁻¹ + n·((I_a⁻¹(r_a×n))×r_a) + (same for b) + cfm/dt
+    dλ       = ω · (target − v_n) / d,   λ ← max(λ + dλ, 0)
+
+Friction uses two tangent rows with bound μ·λ_n (μ=∞ ⇒ unclamped tangential
+velocity kill, the reference's setting).
+
+Two execution strategies (``SolverKind``):
+
+* PGS — a ``lax.scan`` over contact rows; each row sees the latest
+  velocities (Gauss-Seidel). Sequential per world but vmapped across the
+  world batch; closest to ODE QuickStep semantics.
+* JACOBI — all rows update from the previous iterate, impulses applied by
+  one segment-sum scatter per iteration. Stabilized by *mass splitting*:
+  each body's inverse mass/inertia is scaled by the number of contacts
+  touching it, which makes the parallel update non-overshooting (the
+  classical Jacobi/mass-splitting scheme). Fully vectorized over
+  worlds × rows — the TPU throughput path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from rl_ode_physics_tpu.core.config import EngineConfig, SolverKind
+from rl_ode_physics_tpu.core.state import WorldState, world_inv_inertia
+from rl_ode_physics_tpu.ops.narrowphase import Contacts
+
+_EPS = 1e-9
+
+
+def _tangent_basis(n):
+    """Deterministic orthonormal (t1, t2) completing normal n; (..., 3)."""
+    # pick the world axis least aligned with n
+    ax = jnp.argmin(jnp.abs(n), axis=-1)
+    e = jax.nn.one_hot(ax, 3, dtype=n.dtype)
+    t1 = jnp.cross(n, e)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), _EPS)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def _row_data(state: WorldState, contacts: Contacts, config: EngineConfig):
+    """Precompute per-row geometry, effective masses, and rhs targets."""
+    dt = config.dt
+    a, b = contacts.a, contacts.b
+    n = contacts.normal
+    p = contacts.point
+
+    inv_m = state.inv_mass
+    inv_i = world_inv_inertia(state)          # (N, 3, 3)
+
+    r_a = p - state.pos[a]
+    r_b = p - state.pos[b]
+
+    t1, t2 = _tangent_basis(n)
+
+    def eff_mass(axis):
+        rxn_a = jnp.cross(r_a, axis)
+        rxn_b = jnp.cross(r_b, axis)
+        ang_a = jnp.einsum("cij,cj->ci", inv_i[a], rxn_a)
+        ang_b = jnp.einsum("cij,cj->ci", inv_i[b], rxn_b)
+        return (
+            inv_m[a] + inv_m[b]
+            + jnp.sum(rxn_a * ang_a, axis=-1)
+            + jnp.sum(rxn_b * ang_b, axis=-1)
+        )
+
+    cfm_term = config.cfm / dt
+    d_n = eff_mass(n) + cfm_term
+    d_t1 = eff_mass(t1) + cfm_term
+    d_t2 = eff_mass(t2) + cfm_term
+
+    # rhs: ERP bias capped by max_correcting_vel, bounce from pre-solve v_n
+    def rel_vel(linvel, angvel):
+        va = linvel[a] + jnp.cross(angvel[a], r_a)
+        vb = linvel[b] + jnp.cross(angvel[b], r_b)
+        return vb - va
+
+    v0 = rel_vel(state.linvel, state.angvel)
+    v_n0 = jnp.sum(v0 * n, axis=-1)
+
+    bias = jnp.minimum(config.erp * contacts.depth / dt,
+                       config.max_correcting_vel)
+    bounce_target = jnp.where(
+        -v_n0 > config.bounce_vel, -config.bounce * v_n0, 0.0
+    )
+    target = jnp.maximum(bias, bounce_target)
+    target = jnp.where(contacts.valid, target, 0.0)
+
+    return dict(
+        r_a=r_a, r_b=r_b, n=n, t1=t1, t2=t2,
+        d_n=d_n, d_t1=d_t1, d_t2=d_t2,
+        target=target, inv_i=inv_i,
+    )
+
+
+def _apply_impulse(linvel, angvel, inv_m, inv_i, body, r, impulse):
+    """v[body] += m⁻¹·imp ; w[body] += I⁻¹·(r × imp) (single body, scatter)."""
+    linvel = linvel.at[body].add(inv_m[body, None] * impulse)
+    ang = jnp.einsum("ij,j->i", inv_i[body], jnp.cross(r, impulse))
+    angvel = angvel.at[body].add(ang)
+    return linvel, angvel
+
+
+def solve_pgs(state: WorldState, contacts: Contacts,
+              config: EngineConfig) -> WorldState:
+    """Sequential projected Gauss-Seidel (SOR) — ODE QuickStep ordering.
+
+    ``lax.scan`` over rows inside ``lax.fori_loop`` over iterations. Row
+    order is buffer order (deterministic); ODE's per-iteration row
+    randomization is intentionally dropped for bitwise replay (SURVEY.md
+    §2d determinism contract).
+    """
+    rows = _row_data(state, contacts, config)
+    inv_m = state.inv_mass
+    inv_i = rows["inv_i"]
+    omega = config.sor_omega
+    mu_inf = math.isinf(config.mu)
+
+    c = contacts.a.shape[0]
+
+    def one_row(carry, i):
+        linvel, angvel, lam_n, lam_t1, lam_t2 = carry
+        a = contacts.a[i]
+        b = contacts.b[i]
+        r_a = rows["r_a"][i]
+        r_b = rows["r_b"][i]
+        live = contacts.valid[i]
+
+        def rel_v(axis):
+            va = linvel[a] + jnp.cross(angvel[a], r_a)
+            vb = linvel[b] + jnp.cross(angvel[b], r_b)
+            return jnp.dot(vb - va, axis)
+
+        def apply_pair(linvel, angvel, axis, dlam):
+            imp = axis * dlam
+            linvel, angvel = _apply_impulse(linvel, angvel, inv_m, inv_i, a, r_a, -imp)
+            linvel, angvel = _apply_impulse(linvel, angvel, inv_m, inv_i, b, r_b, imp)
+            return linvel, angvel
+
+        # normal row
+        n = rows["n"][i]
+        dlam = omega * (rows["target"][i] - rel_v(n)) / rows["d_n"][i]
+        new_lam = jnp.maximum(lam_n[i] + dlam, 0.0)
+        dlam = jnp.where(live, new_lam - lam_n[i], 0.0)
+        lam_n = lam_n.at[i].add(dlam)
+        linvel, angvel = apply_pair(linvel, angvel, n, dlam)
+
+        # friction rows (target velocity 0, bound mu*lam_n)
+        if config.friction:
+            bound = jnp.inf if mu_inf else config.mu * lam_n[i]
+            t1 = rows["t1"][i]
+            dls = omega * (0.0 - rel_v(t1)) / rows["d_t1"][i]
+            new_l = jnp.clip(lam_t1[i] + dls, -bound, bound)
+            dls = jnp.where(live, new_l - lam_t1[i], 0.0)
+            lam_t1 = lam_t1.at[i].add(dls)
+            linvel, angvel = apply_pair(linvel, angvel, t1, dls)
+
+            t2 = rows["t2"][i]
+            dls = omega * (0.0 - rel_v(t2)) / rows["d_t2"][i]
+            new_l = jnp.clip(lam_t2[i] + dls, -bound, bound)
+            dls = jnp.where(live, new_l - lam_t2[i], 0.0)
+            lam_t2 = lam_t2.at[i].add(dls)
+            linvel, angvel = apply_pair(linvel, angvel, t2, dls)
+
+        return (linvel, angvel, lam_n, lam_t1, lam_t2), None
+
+    def one_iter(_, carry):
+        carry, _ = jax.lax.scan(one_row, carry, jnp.arange(c))
+        return carry
+
+    lam0 = jnp.zeros((c,), state.linvel.dtype)
+    carry = (state.linvel, state.angvel, lam0, lam0, lam0)
+    linvel, angvel, *_ = jax.lax.fori_loop(
+        0, config.solver_iterations, one_iter, carry
+    )
+    return state.replace(linvel=linvel, angvel=angvel)
+
+
+def solve_jacobi(state: WorldState, contacts: Contacts,
+                 config: EngineConfig) -> WorldState:
+    """Batched projected Jacobi with mass splitting — the throughput solver.
+
+    Every iteration is a fully parallel pass over all contact rows: gather
+    body velocities, compute clamped impulse deltas, scatter-add. Mass
+    splitting (inverse masses scaled by each body's contact count) keeps the
+    parallel update stable; under-relaxation ``jacobi_omega`` tunes
+    convergence. No data-dependent shapes or ordering → bitwise
+    deterministic.
+    """
+    n_slots = state.num_slots
+    a, b = contacts.a, contacts.b
+    live = contacts.valid
+    livef = live.astype(state.linvel.dtype)
+
+    # per-body contact counts kappa (mass splitting factors)
+    ones = livef
+    kappa = (
+        jnp.zeros((n_slots,), state.linvel.dtype)
+        .at[a].add(ones, mode="drop")
+        .at[b].add(ones, mode="drop")
+    )
+    kappa = jnp.maximum(kappa, 1.0)
+
+    # split masses: each contact sees its bodies' inverse mass scaled by the
+    # per-pair max count (conservative, guarantees no overshoot on scatter)
+    split = jnp.maximum(kappa[a], kappa[b])
+
+    rows = _row_data(state, contacts, config)
+    # effective mass with split inverse masses: d scales linearly in M^-1
+    d_n = rows["d_n"] * split + (1.0 - split) * (config.cfm / config.dt)
+    d_t1 = rows["d_t1"] * split + (1.0 - split) * (config.cfm / config.dt)
+    d_t2 = rows["d_t2"] * split + (1.0 - split) * (config.cfm / config.dt)
+
+    inv_m = state.inv_mass
+    inv_i = rows["inv_i"]
+    r_a, r_b = rows["r_a"], rows["r_b"]
+    n_ax, t1_ax, t2_ax = rows["n"], rows["t1"], rows["t2"]
+    omega = config.jacobi_omega
+    mu_inf = math.isinf(config.mu)
+
+    def rel_v(linvel, angvel, axis):
+        va = linvel[a] + jnp.cross(angvel[a], r_a)
+        vb = linvel[b] + jnp.cross(angvel[b], r_b)
+        return jnp.sum((vb - va) * axis, axis=-1)
+
+    def scatter(linvel, angvel, axis, dlam):
+        imp = axis * dlam[:, None]                       # (C, 3)
+        linvel = linvel.at[a].add(-inv_m[a, None] * imp, mode="drop")
+        linvel = linvel.at[b].add(inv_m[b, None] * imp, mode="drop")
+        ang_a = jnp.einsum("cij,cj->ci", inv_i[a], jnp.cross(r_a, -imp))
+        ang_b = jnp.einsum("cij,cj->ci", inv_i[b], jnp.cross(r_b, imp))
+        angvel = angvel.at[a].add(ang_a, mode="drop")
+        angvel = angvel.at[b].add(ang_b, mode="drop")
+        return linvel, angvel
+
+    def one_iter(_, carry):
+        linvel, angvel, lam_n, lam_t1, lam_t2 = carry
+
+        dl = omega * (rows["target"] - rel_v(linvel, angvel, n_ax)) / d_n
+        new_lam = jnp.maximum(lam_n + dl, 0.0)
+        dl = jnp.where(live, new_lam - lam_n, 0.0)
+        lam_n = lam_n + dl
+        linvel, angvel = scatter(linvel, angvel, n_ax, dl)
+
+        if config.friction:
+            bound = jnp.full_like(lam_n, jnp.inf) if mu_inf else config.mu * lam_n
+            dl1 = omega * (-rel_v(linvel, angvel, t1_ax)) / d_t1
+            new_l1 = jnp.clip(lam_t1 + dl1, -bound, bound)
+            dl1 = jnp.where(live, new_l1 - lam_t1, 0.0)
+            lam_t1 = lam_t1 + dl1
+            linvel, angvel = scatter(linvel, angvel, t1_ax, dl1)
+
+            dl2 = omega * (-rel_v(linvel, angvel, t2_ax)) / d_t2
+            new_l2 = jnp.clip(lam_t2 + dl2, -bound, bound)
+            dl2 = jnp.where(live, new_l2 - lam_t2, 0.0)
+            lam_t2 = lam_t2 + dl2
+            linvel, angvel = scatter(linvel, angvel, t2_ax, dl2)
+
+        return linvel, angvel, lam_n, lam_t1, lam_t2
+
+    c = a.shape[0]
+    lam0 = jnp.zeros((c,), state.linvel.dtype)
+    carry = (state.linvel, state.angvel, lam0, lam0, lam0)
+    linvel, angvel, *_ = jax.lax.fori_loop(
+        0, config.solver_iterations, one_iter, carry
+    )
+    return state.replace(linvel=linvel, angvel=angvel)
+
+
+def solve(state: WorldState, contacts: Contacts,
+          config: EngineConfig) -> WorldState:
+    if config.solver is SolverKind.PGS:
+        return solve_pgs(state, contacts, config)
+    return solve_jacobi(state, contacts, config)
