@@ -1,0 +1,70 @@
+"""Throughput benchmark: body-steps/sec on the BASELINE config 4 workload.
+
+Workload (BASELINE.md): 8192 vmapped worlds × 64 bodies each (the grassPlane
+arena + 60 dynamic stacked bodies per world), fixed contact buffers, 120 Hz
+substeps batched per launch. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "body-steps/sec", "vs_baseline": N}
+vs_baseline is value / 50e6 (the ≥50M body-steps/sec target; the reference
+publishes no numbers of its own — BASELINE.md).
+
+Env overrides: BENCH_WORLDS, BENCH_BODIES, BENCH_STEPS, BENCH_SUBSTEPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from rl_ode_physics_tpu.core.config import EngineConfig
+    from rl_ode_physics_tpu.models import scenes
+    from rl_ode_physics_tpu.parallel.batch import replicate, make_batched_step_fn
+
+    num_worlds = int(os.environ.get("BENCH_WORLDS", 8192))
+    num_bodies = int(os.environ.get("BENCH_BODIES", 64))
+    substeps = int(os.environ.get("BENCH_SUBSTEPS", 8))
+    launches = int(os.environ.get("BENCH_STEPS", 12))
+
+    config = EngineConfig(
+        max_bodies=num_bodies,
+        max_pair_candidates=4 * num_bodies,
+        max_contacts=8 * num_bodies,
+        max_contacts_per_pair=4,
+    )
+    world = scenes.bench_world(config, num_bodies=num_bodies - 4)
+    batch = replicate(world, num_worlds)
+    batch = jax.device_put(batch)
+
+    step_fn = make_batched_step_fn(config, substeps=substeps, donate=True)
+
+    # warmup: compile + let stacks reach contact-rich steady state
+    for _ in range(3):
+        batch = step_fn(batch)
+    jax.block_until_ready(batch.pos)
+
+    t0 = time.perf_counter()
+    for _ in range(launches):
+        batch = step_fn(batch)
+    jax.block_until_ready(batch.pos)
+    dt = time.perf_counter() - t0
+
+    total_steps = launches * substeps
+    body_steps = num_worlds * num_bodies * total_steps
+    value = body_steps / dt
+
+    print(json.dumps({
+        "metric": f"body-steps/sec ({num_worlds} worlds x {num_bodies} bodies, "
+                  f"{total_steps} substeps in {dt:.3f}s)",
+        "value": value,
+        "unit": "body-steps/sec",
+        "vs_baseline": value / 50e6,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -232,6 +232,7 @@ def step_with_diagnostics(state: WorldState, config: EngineConfig):
     return state, metrics
 
 
+@functools.lru_cache(maxsize=None)
 def make_step_fn(config: EngineConfig, substeps: int = 1, donate: bool = True):
     """Compile a (possibly multi-substep) step: state → state.
 

@@ -1,0 +1,244 @@
+"""Authoritative game server: deterministic sim core + transport shell.
+
+Replicates the reference's ``StartServer`` (``src/main.c:59-270``) with the
+reference's defects fixed (SURVEY.md §2e):
+
+* physics ticks unconditionally at 120 Hz — the reference only stepped
+  inside the ENet event loop, freezing the sim when idle
+  (``src/main.c:206-216`` being inside ``while(enet_host_service…)``),
+* spawn requests at capacity are *reported* (slot -1), not silently dropped
+  (``src/main.c:178-182``).
+
+Layering: ``SimCore`` is a pure-deterministic simulation shell around the
+jitted step — every input is an (tick, intent) record, so a recorded intent
+stream replays bitwise (BASELINE config 5). ``GameServer`` adds the
+reliable-UDP transport, the player table, and the 60 Hz snapshot broadcast
+(``BROADCAST_TIME``, ``src/main.c:28,218-253``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rl_ode_physics_tpu.core.config import EngineConfig
+from rl_ode_physics_tpu.core.state import BodyType, CollMask, WorldState
+from rl_ode_physics_tpu.core.world import add_body, make_step_fn
+from rl_ode_physics_tpu.models import scenes
+from rl_ode_physics_tpu.net import protocol
+from rl_ode_physics_tpu.net.transport import Event, EventType, Host
+from rl_ode_physics_tpu.utils import transforms as tf
+from rl_ode_physics_tpu.utils import quat as quat_m
+
+PORT = 12345                     # src/main.c:67
+BROADCAST_TIME = 1.0 / 60.0      # src/main.c:28
+PHYSICS_DT = 1.0 / 120.0         # src/main.c:208
+
+
+@dataclasses.dataclass
+class Intent:
+    """A deterministic sim input, applied at a tick boundary."""
+    tick: int
+    kind: str                    # "spawn"
+    payload: dict
+
+
+class SimCore:
+    """Deterministic authoritative simulation (no transport, no wall clock).
+
+    All mutation happens either in the jitted step or through recorded
+    intents, so (initial state, intent log) → final state is a pure function.
+    """
+
+    def __init__(self, config: Optional[EngineConfig] = None,
+                 world: Optional[WorldState] = None, seed: int = 0):
+        self.config = config or EngineConfig()
+        self.world = (world if world is not None
+                      else scenes.grass_plane_world(self.config, seed))
+        self._step1 = make_step_fn(self.config, substeps=1, donate=False)
+        self.tick = 0
+        self.intent_log: List[Intent] = []
+
+    # --- intents ---------------------------------------------------------
+
+    def spawn_body(self, body_type: int, transform16: np.ndarray,
+                   size: np.ndarray, color: np.ndarray,
+                   record: bool = True) -> int:
+        """Apply a MsgNewBody spawn (reference handler ``src/main.c:178-182``
+        → ``AddBody(…, CMASK_OBJ, CMASK_OBJ|CMASK_MAP, …)``).
+
+        The transform is interpreted exactly like ``AddBody`` does: position
+        from elements 12..14, rotation rows from elements 0..11
+        (``GetTransMatPos/GetTransMatRot``, ``src/main.c:653-663``).
+        """
+        payload = dict(
+            type=int(body_type),
+            transform=np.asarray(transform16, np.float64).tolist(),
+            size=np.asarray(size, np.float32).tolist(),
+            color=np.asarray(color, np.uint8).tolist(),
+        )
+        if record:
+            self.intent_log.append(Intent(self.tick, "spawn", payload))
+        return self._apply_spawn(payload)
+
+    def _apply_spawn(self, payload: dict) -> int:
+        t16 = jnp.asarray(payload["transform"], self.world.pos.dtype)
+        pos = tf.pos_from_mat16(t16)
+        q = tf.quat_from_mat16_rowmajor(t16)
+        self.world, slot = add_body(
+            self.world,
+            payload["type"],
+            pos,
+            jnp.asarray(payload["size"], self.world.size.dtype),
+            quat=q,
+            category=int(CollMask.OBJ),
+            collide=int(CollMask.OBJ) | int(CollMask.MAP),
+            color=payload["color"],
+        )
+        return int(slot)
+
+    # --- stepping --------------------------------------------------------
+
+    def advance(self, substeps: int = 1):
+        """Advance ``substeps`` × 120 Hz fixed steps."""
+        for _ in range(substeps):
+            self.world = self._step1(self.world)
+            self.tick += 1
+
+    # --- snapshots -------------------------------------------------------
+
+    def body_states(self) -> np.ndarray:
+        """Wire-format BodyState[max_bodies] snapshot — the broadcast
+        read-back of ``src/main.c:221-240`` (column-major transforms via
+        ``GetTransformMat``) as one batched device→host transfer."""
+        w = jax.device_get(self.world)
+        n = self.config.max_bodies
+        out = np.zeros((n,), protocol.BODY_STATE_DTYPE)
+        out["type"] = w.body_type
+        m16 = np.asarray(tf.mat16_from_pos_quat(
+            jnp.asarray(w.pos), jnp.asarray(w.quat)))
+        out["transform"] = m16.astype(np.float64)
+        out["size"] = w.size.astype(np.float32)
+        out["col"] = w.color
+        # NULL slots broadcast as type 0 (clients skip them, src/main.c:301)
+        return out
+
+    def state_digest(self) -> bytes:
+        """Bitwise digest of the dynamic state (determinism checks)."""
+        import hashlib
+        w = jax.device_get(self.world)
+        h = hashlib.sha256()
+        for arr in (w.pos, w.quat, w.linvel, w.angvel, w.body_type):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        return h.hexdigest().encode()
+
+
+class GameServer:
+    """Transport + player table around SimCore (reference ``StartServer``)."""
+
+    def __init__(self, config: Optional[EngineConfig] = None,
+                 port: int = PORT, max_players: int = protocol.MAX_PLAYERS,
+                 seed: int = 0):
+        self.sim = SimCore(config, seed=seed)
+        self.host = Host(port=port, max_peers=max_players)
+        self.max_players = max_players
+        self.players = protocol.empty_players(max_players)
+        self.peer_to_player: Dict[Tuple[str, int], int] = {}
+        self.player_dirty = False
+        self._phys_accum = 0.0
+        self._bcast_accum = 0.0
+        self.log: List[str] = []
+
+    # --- event handling (reference switch, src/main.c:142-204) -----------
+
+    def handle_event(self, ev: Event):
+        if ev.type is EventType.CONNECT:
+            free = np.flatnonzero(self.players["id"] == -1)
+            if free.size == 0:
+                ev.peer.disconnect()      # server full (src/main.c:164-167)
+                self.log.append("server full, disconnected client")
+                return
+            pid = int(free[0])
+            self.players["id"][pid] = pid
+            self.players["pos"][pid] = 0.0
+            self.players["dir"][pid] = 0.0
+            self.peer_to_player[ev.peer.addr] = pid
+            ev.peer.send(0, protocol.encode_player_id(pid))
+            self.player_dirty = True
+            self.log.append(f"assigned id {pid}")
+        elif ev.type is EventType.RECEIVE:
+            mtype = protocol.peek_type(ev.data)
+            if mtype is protocol.MsgType.S_PLAYER_UPDATE:
+                upd = protocol.decode_player_update(ev.data)
+                pid = upd["id"]
+                if 0 <= pid < self.max_players:
+                    self.players["pos"][pid] = upd["pos"]
+                    self.players["dir"][pid] = upd["dir"]
+                    self.players["id"][pid] = pid
+                    self.player_dirty = True
+            elif mtype is protocol.MsgType.S_NEW_BODY:
+                body = protocol.decode_new_body(ev.data)
+                slot = self.sim.spawn_body(
+                    body["type"], body["transform"], body["size"],
+                    body["color"])
+                if slot < 0:
+                    self.log.append("spawn dropped: world full")
+        elif ev.type is EventType.DISCONNECT:
+            pid = self.peer_to_player.pop(ev.peer.addr, None)
+            if pid is not None:
+                self.players["id"][pid] = -1
+                self.player_dirty = True
+                self.log.append("client disconnected")
+
+    # --- main loop -------------------------------------------------------
+
+    def pump(self, budget: float = 0.0):
+        """Drain transport events (enet_host_service loop)."""
+        while True:
+            ev = self.host.service(budget)
+            if ev is None:
+                return
+            self.handle_event(ev)
+            budget = 0.0
+
+    def tick(self, dt: float):
+        """Advance wall-clock dt: fixed-rate physics + 60 Hz broadcast
+        (the accumulator pattern of ``src/main.c:206-253``)."""
+        self._phys_accum += dt
+        substeps = int(self._phys_accum / PHYSICS_DT)
+        if substeps > 0:
+            self._phys_accum -= substeps * PHYSICS_DT
+            self.sim.advance(substeps)
+
+        self._bcast_accum += dt
+        if self._bcast_accum >= BROADCAST_TIME:
+            self._bcast_accum = 0.0
+            self.broadcast()
+
+    def broadcast(self):
+        self.host.broadcast(
+            0, protocol.encode_update_bodies(self.sim.body_states())
+        )
+        if self.player_dirty:
+            self.host.broadcast(
+                0, protocol.encode_update_players(self.players)
+            )
+            self.player_dirty = False
+
+    def run(self, duration: Optional[float] = None):
+        """Unconditional tick loop (fixes the idle-freeze defect)."""
+        t_prev = time.monotonic()
+        t_end = None if duration is None else t_prev + duration
+        while t_end is None or time.monotonic() < t_end:
+            self.pump(0.002)
+            now = time.monotonic()
+            self.tick(now - t_prev)
+            t_prev = now
+
+    def close(self):
+        self.host.close()

@@ -43,9 +43,13 @@ class PairCandidates:
 
 @functools.lru_cache(maxsize=None)
 def _tri_indices(n: int):
-    """Static upper-triangular pair index arrays (host-precomputed)."""
+    """Static upper-triangular pair index arrays (host-precomputed).
+
+    Cached as *numpy* arrays on purpose: jnp constants materialized inside a
+    jit trace are tracers and must never be cached across traces.
+    """
     ia, ib = np.triu_indices(n, k=1)
-    return jnp.asarray(ia, jnp.int32), jnp.asarray(ib, jnp.int32)
+    return ia.astype(np.int32), ib.astype(np.int32)
 
 
 def compute_aabbs(state: WorldState, margin: float = 0.0) -> jnp.ndarray:

@@ -1,0 +1,213 @@
+"""Networking layer: wire format, reliable transport, server/client
+round-trip, lockstep replay determinism (SURVEY.md §4 conformance/
+determinism tiers; reference protocol in inc/msgs.h)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from rl_ode_physics_tpu.core.config import EngineConfig
+from rl_ode_physics_tpu.net import protocol
+from rl_ode_physics_tpu.net.transport import EventType, Host
+from rl_ode_physics_tpu.net.server import GameServer, SimCore
+from rl_ode_physics_tpu.net.client import GameClient
+from rl_ode_physics_tpu.net import replay as replay_m
+
+SMALL = EngineConfig(max_bodies=16, max_pair_candidates=64, max_contacts=64)
+
+
+# --- protocol ---------------------------------------------------------------
+
+def test_bodystate_wire_layout_is_152_bytes():
+    """Matches the reference's x86-64 struct layout: 512-body snapshot is
+    the documented ~78 KB packet (SURVEY.md §1)."""
+    assert protocol.BODY_STATE_DTYPE.itemsize == 152
+    assert protocol.msg_update_bodies_dtype(512).itemsize == 8 + 512 * 152
+
+
+def test_player_roundtrip():
+    data = protocol.encode_player_update([1, 2, 3], [0, 0, 1], 5)
+    assert protocol.peek_type(data) is protocol.MsgType.S_PLAYER_UPDATE
+    out = protocol.decode_player_update(data)
+    assert out["id"] == 5
+    assert np.allclose(out["pos"], [1, 2, 3])
+
+
+def test_new_body_roundtrip():
+    t16 = np.eye(4).flatten(order="F")
+    data = protocol.encode_new_body(1, t16, (0.15, 0, 0), (10, 20, 30, 255))
+    out = protocol.decode_new_body(data)
+    assert out["type"] == 1
+    assert np.allclose(out["transform"], t16)
+    assert np.allclose(out["size"], [0.15, 0, 0])
+    assert tuple(out["color"]) == (10, 20, 30, 255)
+
+
+def test_update_bodies_roundtrip():
+    bodies = np.zeros((16,), protocol.BODY_STATE_DTYPE)
+    bodies["type"][3] = 2
+    bodies["transform"][3] = np.arange(16)
+    data = protocol.encode_update_bodies(bodies)
+    out = protocol.decode_update_bodies(data, 16)
+    assert out["type"][3] == 2
+    assert np.allclose(out["transform"][3], np.arange(16))
+
+
+# --- transport --------------------------------------------------------------
+
+def _drain(host, events, budget=0.05):
+    deadline = time.monotonic() + budget
+    while time.monotonic() < deadline:
+        ev = host.service(0.005)
+        if ev is not None:
+            events.append(ev)
+
+
+def test_transport_connect_send_fragmented():
+    server = Host(port=None, max_peers=4)
+    client = Host(port=None, max_peers=1)
+    try:
+        client.connect(("127.0.0.1", server.port))
+        sev, cev = [], []
+        for _ in range(20):
+            _drain(server, sev, 0.01)
+            _drain(client, cev, 0.01)
+            if sev and cev:
+                break
+        assert any(e.type is EventType.CONNECT for e in sev)
+        assert any(e.type is EventType.CONNECT for e in cev)
+
+        # large payload (> 64 KB datagram limit) must fragment + reassemble
+        big = bytes(range(256)) * 400          # 102400 bytes
+        speer = next(e.peer for e in sev if e.type is EventType.CONNECT)
+        speer.send(0, big)
+        got = []
+        for _ in range(100):
+            _drain(client, got, 0.01)
+            if any(e.type is EventType.RECEIVE for e in got):
+                break
+        recv = [e for e in got if e.type is EventType.RECEIVE]
+        assert recv and recv[0].data == big
+    finally:
+        server.close()
+        client.close()
+
+
+def test_transport_ordered_delivery():
+    server = Host(port=None, max_peers=4)
+    client = Host(port=None, max_peers=1)
+    try:
+        peer = client.connect(("127.0.0.1", server.port))
+        sev = []
+        for _ in range(50):
+            _drain(server, sev, 0.01)
+            _drain(client, [], 0.005)
+            if peer.connected:
+                break
+        assert peer.connected
+        for i in range(20):
+            peer.send(0, f"msg{i}".encode())
+        got = []
+        for _ in range(100):
+            _drain(server, got, 0.01)
+            if len([e for e in got if e.type is EventType.RECEIVE]) >= 20:
+                break
+        msgs = [e.data for e in got if e.type is EventType.RECEIVE]
+        assert msgs == [f"msg{i}".encode() for i in range(20)]
+    finally:
+        server.close()
+        client.close()
+
+
+# --- server/client round trip ----------------------------------------------
+
+def test_server_client_roundtrip():
+    """Full §3.4 spawn round trip: connect → id assignment → spawn request →
+    server physics → snapshot mirror on the client."""
+    server = GameServer(SMALL, port=0, max_players=4)
+    client = GameClient(("127.0.0.1", server.host.port), max_bodies=16,
+                        max_players=4)
+    try:
+        for _ in range(100):
+            server.pump(0.005)
+            client.pump(0.005)
+            if client.connected:
+                break
+        assert client.connected
+        assert client.local_id == 0
+
+        # spawn a sphere at y=3 and let it fall
+        client.spawn_at_camera()
+        for _ in range(50):
+            server.pump(0.005)
+            if server.sim.world.body_type.max() > 0 and int(
+                    np.sum(np.asarray(server.sim.world.active))) >= 5:
+                break
+        # 4 arena boxes + 1 spawned sphere
+        assert int(np.sum(np.asarray(server.sim.world.active))) == 5
+
+        # run server physics + broadcast; client should mirror the body
+        for _ in range(30):
+            server.tick(1.0 / 60.0)
+            server.pump(0.002)
+            client.pump(0.01)
+        types = client.bodies["type"]
+        assert (types == 1).sum() == 1          # the sphere
+        assert (types == 2).sum() == 4          # arena boxes
+        sphere_idx = int(np.flatnonzero(types == 1)[0])
+        y = client.bodies["transform"][sphere_idx][13]
+        assert y < 2.0                           # it fell from the camera pos
+    finally:
+        client.close()
+        server.close()
+
+
+def test_server_full_rejects():
+    server = GameServer(SMALL, port=0, max_players=1)
+    c1 = GameClient(("127.0.0.1", server.host.port), max_players=1)
+    c2 = GameClient(("127.0.0.1", server.host.port), max_players=1)
+    try:
+        for _ in range(100):
+            server.pump(0.005)
+            c1.pump(0.005)
+            c2.pump(0.005)
+            if c1.connected or c2.connected:
+                break
+        for _ in range(50):
+            server.pump(0.005)
+            c1.pump(0.005)
+            c2.pump(0.005)
+        assert sum([c1.local_id != -1, c2.local_id != -1]) == 1
+        assert any("full" in line for line in server.log)
+    finally:
+        c1.close()
+        c2.close()
+        server.close()
+
+
+# --- lockstep replay --------------------------------------------------------
+
+def test_replay_bitwise_reproducible(tmp_path):
+    """BASELINE config 5: record intents on a live sim, replay twice,
+    require bitwise-identical state digests."""
+    sim = SimCore(SMALL, seed=3)
+    rng = np.random.default_rng(0)
+    t16 = np.eye(4).flatten(order="F")
+    for k in range(5):
+        sim.advance(7)
+        t = t16.copy()
+        t[12:15] = rng.uniform(-2, 2, 3)
+        t[13] = abs(t[13]) + 3.0
+        sim.spawn_body(1 + (k % 2), t, (0.3, 0.3, 0.3), (1, 2, 3, 255))
+    sim.advance(60)
+    digest_live = sim.state_digest()
+
+    log_path = tmp_path / "intents.jsonl"
+    replay_m.save_log(sim.intent_log, str(log_path))
+    log = replay_m.load_log(str(log_path))
+
+    r1 = replay_m.replay(log, sim.tick, SMALL, seed=3)
+    r2 = replay_m.replay(log, sim.tick, SMALL, seed=3)
+    assert r1.state_digest() == digest_live
+    assert r2.state_digest() == digest_live
