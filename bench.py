@@ -21,6 +21,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from rl_ode_physics_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from rl_ode_physics_tpu.core.config import EngineConfig
     from rl_ode_physics_tpu.models import scenes
     from rl_ode_physics_tpu.parallel.batch import replicate, make_batched_step_fn
@@ -47,10 +50,13 @@ def main():
         batch = step_fn(batch)
     jax.block_until_ready(batch.pos)
 
+    import numpy as np
+    _ = np.asarray(batch.pos[0, 0])   # hard sync through the transport layer
     t0 = time.perf_counter()
     for _ in range(launches):
         batch = step_fn(batch)
     jax.block_until_ready(batch.pos)
+    _ = np.asarray(batch.pos[0, 0])   # force completion, not just dispatch
     dt = time.perf_counter() - t0
 
     total_steps = launches * substeps

@@ -45,6 +45,7 @@ class EngineConfig:
     max_pair_candidates: int = 2048  # broadphase survivor capacity (pairs)
     max_contacts_per_pair: int = 8   # src/main.c:675 (dCollide MAX_CONTACTS)
     max_contacts: int = 2048         # solver row capacity per world
+    max_contacts_per_body: int = 32  # Jacobi incidence-table degree bound
 
     # --- time stepping ---------------------------------------------------
     dt: float = 1.0 / 120.0         # src/main.c:208 (120 Hz fixed substep)

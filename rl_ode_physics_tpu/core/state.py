@@ -177,7 +177,14 @@ def capsule_mass(radius, length, density=1.0):
     return m, jnp.stack([i_trans, i_trans, i_axial], axis=-1)
 
 
+def similarity_diag(r: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """R · diag(d) · Rᵀ as pure VPU broadcast-sum (tiny 3×3 dims — avoids
+    dot_general lowering of micro-matmuls on TPU)."""
+    tmp = r * d[..., None, :]
+    return jnp.sum(tmp[..., :, None, :] * r[..., None, :, :], axis=-1)
+
+
 def world_inv_inertia(state: WorldState) -> jnp.ndarray:
     """(N, 3, 3) world-frame inverse inertia: R · diag(invI_body) · Rᵀ."""
     r = quat_m.to_matrix(state.quat)
-    return jnp.einsum("...ij,...j,...kj->...ik", r, state.inv_inertia, r)
+    return similarity_diag(r, state.inv_inertia)

@@ -118,19 +118,16 @@ def broadphase(state: WorldState, config: EngineConfig,
 
     hit = overlap & mask_ok & both_active & any_movable
 
-    # deterministic stream compaction: position = exclusive cumsum of hits
-    order = jnp.cumsum(hit.astype(jnp.int32)) - 1
-    dest = jnp.where(hit & (order < cp), order, cp)  # overflow → dropped slot
-    cand_ia = jnp.full((cp + 1,), 0, jnp.int32).at[dest].set(ia, mode="drop")
-    cand_ib = jnp.full((cp + 1,), 0, jnp.int32).at[dest].set(ib, mode="drop")
+    # deterministic scatter-free compaction (top_k; see ops/compaction.py)
+    from rl_ode_physics_tpu.ops.compaction import compact_mask
 
-    total = jnp.sum(hit.astype(jnp.int32))
-    count = jnp.minimum(total, cp)
-    slot_idx = jnp.arange(cp, dtype=jnp.int32)
+    idx, valid, count, overflow = compact_mask(hit, cp)
+    ia_arr = jnp.asarray(ia)
+    ib_arr = jnp.asarray(ib)
     return PairCandidates(
-        ia=cand_ia[:cp],
-        ib=cand_ib[:cp],
-        valid=slot_idx < count,
+        ia=jnp.where(valid, ia_arr[idx], 0),
+        ib=jnp.where(valid, ib_arr[idx], 0),
+        valid=valid,
         count=count,
-        overflow=jnp.maximum(total - cp, 0),
+        overflow=overflow,
     )

@@ -37,15 +37,18 @@ def apply_external_forces(state: WorldState, config: EngineConfig) -> WorldState
     )
 
     # world-frame inertia and its inverse from the body-frame diagonal
-    r = quat_m.to_matrix(state.quat)
-    inv_i_world = jnp.einsum("...ij,...j,...kj->...ik", r, state.inv_inertia, r)
-    i_body = jnp.where(state.inv_inertia > 0, 1.0 / jnp.maximum(state.inv_inertia, 1e-30), 0.0)
-    i_world = jnp.einsum("...ij,...j,...kj->...ik", r, i_body, r)
+    from rl_ode_physics_tpu.core.state import similarity_diag
 
-    ang_mom = jnp.einsum("...ij,...j->...i", i_world, state.angvel)
+    r = quat_m.to_matrix(state.quat)
+    inv_i_world = similarity_diag(r, state.inv_inertia)
+    i_body = jnp.where(state.inv_inertia > 0, 1.0 / jnp.maximum(state.inv_inertia, 1e-30), 0.0)
+    i_world = similarity_diag(r, i_body)
+
+    ang_mom = jnp.sum(i_world * state.angvel[..., None, :], axis=-1)
     gyro = jnp.cross(state.angvel, ang_mom)
     torque = state.torque - gyro
-    angvel = state.angvel + dt * jnp.einsum("...ij,...j->...i", inv_i_world, torque)
+    angvel = state.angvel + dt * jnp.sum(
+        inv_i_world * torque[..., None, :], axis=-1)
     # Zero-inertia (static/kinematic) rows have inv_i_world = 0 → unchanged.
 
     return state.replace(linvel=linvel, angvel=angvel)

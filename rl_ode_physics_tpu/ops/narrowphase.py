@@ -250,59 +250,43 @@ def _capsule_box(pa, qa, sa, pb, qb, sb, k):
 # Box-box: SAT + reference-face clipping (ODE dBoxBox structure)
 # ---------------------------------------------------------------------------
 
-def _clip_quad_to_rect(quad, hx, hy):
-    """Sutherland-Hodgman clip of a 2D quad against |x|≤hx, |y|≤hy.
+def _face_candidates(quad2d, hx, hy):
+    """Branch-free face-face manifold candidates in reference-face coords.
 
-    Static shapes: vertex buffer capacity 8 (4 verts + ≤1 new vertex per
-    clip plane), masked counts. Returns (verts (8,2), count).
+    Instead of sequential Sutherland-Hodgman clipping (dynamic vertex
+    counts → serialized scatters on TPU), emit a fixed 8-candidate set that
+    covers the same resting configurations:
+
+    * the 4 incident-face corners clamped into the reference rect — exact
+      when the incident face lies inside the rect (small box on a big face,
+      the dominant stacking case), boundary-projected otherwise;
+    * the 4 reference-rect corners, valid when inside the incident quad
+      (big box overhanging a small face).
+
+    Fully vectorized; ≤8 valid points like ODE's dBoxBox manifold. A
+    deviation from exact polygon clipping only in partially-overlapping
+    edge regions, where clamped corners land on the rect boundary near the
+    true intersection points (documented conformance deviation).
+
+    Returns (points (8, 2), candidate_valid (8,)).
     """
-    cap = 8
-    verts = jnp.zeros((cap, 2), quad.dtype).at[:4].set(quad)
-    count = jnp.asarray(4, jnp.int32)
+    h = jnp.stack([hx, hy])
+    clamped = jnp.clip(quad2d, -h, h)                      # (4, 2)
 
-    # planes: (a, b, c) with inside iff a*x + b*y <= c
-    planes = jnp.stack([
-        jnp.array([1.0, 0.0], quad.dtype), jnp.array([-1.0, 0.0], quad.dtype),
-        jnp.array([0.0, 1.0], quad.dtype), jnp.array([0.0, -1.0], quad.dtype),
-    ])
-    limits = jnp.stack([hx, hx, hy, hy])
+    sx = jnp.array([-1.0, 1.0, 1.0, -1.0], quad2d.dtype)
+    sy = jnp.array([-1.0, -1.0, 1.0, 1.0], quad2d.dtype)
+    rect = jnp.stack([sx * hx, sy * hy], axis=-1)          # (4, 2)
 
-    def clip_one(carry, plane_i):
-        verts, count = carry
-        ab = planes[plane_i]
-        c = limits[plane_i]
+    # point-in-convex-quad: consistent sign of edge cross products
+    q_next = jnp.roll(quad2d, -1, axis=0)                  # (4, 2)
+    edges = q_next - quad2d                                # (4, 2)
+    rel = rect[:, None, :] - quad2d[None, :, :]            # (4 rect, 4 edge, 2)
+    cross = edges[None, :, 0] * rel[..., 1] - edges[None, :, 1] * rel[..., 0]
+    inside = jnp.all(cross >= -1e-7, axis=-1) | jnp.all(cross <= 1e-7, axis=-1)
 
-        def body(i, acc):
-            out_v, out_n = acc
-            cur = verts[i]
-            nxt_i = jnp.where(i + 1 >= count, 0, i + 1)
-            nxt = verts[nxt_i]
-            in_cur = jnp.dot(ab, cur) <= c
-            in_nxt = jnp.dot(ab, nxt) <= c
-            live = i < count
-
-            # emit cur if inside
-            emit1 = live & in_cur
-            out_v = out_v.at[jnp.where(emit1, out_n, cap)].set(cur, mode="drop")
-            out_n = out_n + emit1.astype(jnp.int32)
-
-            # emit intersection if edge crosses the plane
-            denom = jnp.dot(ab, nxt - cur)
-            t = (c - jnp.dot(ab, cur)) / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
-            inter = cur + jnp.clip(t, 0.0, 1.0) * (nxt - cur)
-            emit2 = live & (in_cur != in_nxt) & (jnp.abs(denom) > _EPS)
-            out_v = out_v.at[jnp.where(emit2, out_n, cap)].set(inter, mode="drop")
-            out_n = out_n + emit2.astype(jnp.int32)
-            return out_v, out_n
-
-        out0 = (jnp.zeros((cap + 1, 2), verts.dtype), jnp.asarray(0, jnp.int32))
-        out_v, out_n = jax.lax.fori_loop(0, cap, body, out0)
-        return (out_v[:cap], jnp.minimum(out_n, cap)), None
-
-    (verts, count), _ = jax.lax.scan(
-        clip_one, (verts, count), jnp.arange(4)
-    )
-    return verts, count
+    points = jnp.concatenate([clamped, rect], axis=0)      # (8, 2)
+    valid = jnp.concatenate([jnp.ones((4,), bool), inside])
+    return points, valid
 
 
 def _box_box(pa, qa, sa, pb, qb, sb, k):
@@ -386,7 +370,6 @@ def _box_box(pa, qa, sa, pb, qb, sb, k):
 
     ca, cb = _segment_segment(a0, a1, b0, b1)
     edge_point = 0.5 * (ca + cb)
-    edge_depth = -edge_adj[best_edge_idx] / jnp.where(edge_adj[best_edge_idx] < 0, 1.0 / fudge, fudge)
     edge_depth = -edge_seps[best_edge_idx]
 
     # --------------------------- face case --------------------------------
@@ -440,10 +423,10 @@ def _box_box(pa, qa, sa, pb, qb, sb, k):
     rel = quad_world - face_center
     quad2d = jnp.stack([rel @ u0, rel @ u1], axis=-1)   # (4, 2)
 
-    verts2d, nverts = _clip_quad_to_rect(quad2d, hu0, hu1)
+    verts2d, cand_valid = _face_candidates(quad2d, hu0, hu1)
 
     # lift back to 3D on the *incident* face plane to compute depth
-    # depth of a clipped point = distance of the corresponding incident-face
+    # depth of a candidate = distance of the corresponding incident-face
     # point below the reference face.
     inc_n = axes_inc[inc_axis] * inc_sign               # incident face normal (world)
     denom = jnp.dot(inc_n, n_ref)
@@ -451,14 +434,11 @@ def _box_box(pa, qa, sa, pb, qb, sb, k):
     # p = face_center + x*u0 + y*u1 + z*n_ref, where z solves the incident plane
     d_inc = jnp.dot(inc_n, inc_center)
 
-    def lift(v2):
-        base = face_center + v2[0] * u0 + v2[1] * u1
-        z = (d_inc - jnp.dot(inc_n, base)) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0)
-        return base + z * n_ref, -z                     # depth = -z (below face)
-
-    lifted, depths_face = jax.vmap(lift)(verts2d)       # (8,3), (8,)
-    slot = jnp.arange(8)
-    valid_face = (slot < nverts) & (depths_face > 0.0)
+    base = face_center + verts2d[:, 0:1] * u0 + verts2d[:, 1:2] * u1  # (8, 3)
+    z = (d_inc - base @ inc_n) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0)
+    lifted = base + z[:, None] * n_ref
+    depths_face = -z                                    # depth = -z (below face)
+    valid_face = cand_valid & (depths_face > 0.0)
     # ODE places face-case contacts on the incident face, shifted halfway
     points_face = lifted - 0.5 * depths_face[..., None] * n_ref
 
@@ -569,23 +549,16 @@ def narrowphase(state: WorldState, cand: PairCandidates,
     flat_a = jnp.repeat(ia, k)
     flat_b = jnp.repeat(ib, k)
 
-    order = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
-    dest = jnp.where(flat_valid & (order < ccap), order, ccap)
+    from rl_ode_physics_tpu.ops.compaction import compact_mask
 
-    def scat(src, fill=0.0):
-        shape = (ccap + 1,) + src.shape[1:]
-        return jnp.full(shape, fill, src.dtype).at[dest].set(src, mode="drop")[:ccap]
-
-    total = jnp.sum(flat_valid.astype(jnp.int32))
-    count = jnp.minimum(total, ccap)
-    slot = jnp.arange(ccap, dtype=jnp.int32)
+    idx, cvalid, count, overflow = compact_mask(flat_valid, ccap)
     return Contacts(
-        point=scat(flat_points),
-        normal=scat(flat_normals),
-        depth=scat(flat_depths),
-        a=scat(flat_a),
-        b=scat(flat_b),
-        valid=slot < count,
+        point=jnp.where(cvalid[:, None], flat_points[idx], 0.0),
+        normal=jnp.where(cvalid[:, None], flat_normals[idx], 0.0),
+        depth=jnp.where(cvalid, flat_depths[idx], 0.0),
+        a=jnp.where(cvalid, flat_a[idx], 0),
+        b=jnp.where(cvalid, flat_b[idx], 0),
+        valid=cvalid,
         count=count,
-        overflow=jnp.maximum(total - ccap, 0),
+        overflow=overflow,
     )

@@ -71,11 +71,15 @@ def _row_data(state: WorldState, contacts: Contacts, config: EngineConfig):
 
     t1, t2 = _tangent_basis(n)
 
+    inv_i_a = inv_i[a]
+    inv_i_b = inv_i[b]
+
     def eff_mass(axis):
         rxn_a = jnp.cross(r_a, axis)
         rxn_b = jnp.cross(r_b, axis)
-        ang_a = jnp.einsum("cij,cj->ci", inv_i[a], rxn_a)
-        ang_b = jnp.einsum("cij,cj->ci", inv_i[b], rxn_b)
+        # VPU matvec: (C,3,3)·(C,3) as masked broadcast-sum (tiny dims)
+        ang_a = jnp.sum(inv_i_a * rxn_a[..., None, :], axis=-1)
+        ang_b = jnp.sum(inv_i_b * rxn_b[..., None, :], axis=-1)
         return (
             inv_m[a] + inv_m[b]
             + jnp.sum(rxn_a * ang_a, axis=-1)
@@ -194,90 +198,150 @@ def solve_pgs(state: WorldState, contacts: Contacts,
     return state.replace(linvel=linvel, angvel=angvel)
 
 
+def _half_row_selector(state: WorldState, contacts: Contacts):
+    """One-hot half-row selection matrix S (2C, N) and contact counts κ (N,).
+
+    TPU scatters with duplicate indices serialize and fused gathers lower
+    poorly on TPU, so the throughput solver phrases both directions of the
+    contact↔body data movement as dense matmuls with S (MXU-friendly, built
+    once per step):
+
+        gather   vh = S  @ [linvel ‖ angvel]      (2C, 6)
+        scatter  Δv = Sᵀ @ contributions          (N, 6)
+
+    Rows 0..C−1 select contact i's body a, rows C..2C−1 its body b. Rows of
+    invalid contacts are zero. Columns of non-movable bodies (inv_mass = 0 —
+    statics, kinematics, the arena floor touching everything) are kept for
+    the gather but contribute nothing on the scatter side because their
+    inverse mass/inertia is zero.
+    """
+    n = state.num_slots
+    body_of_half = jnp.concatenate([contacts.a, contacts.b])       # (2C,)
+    valid_half = jnp.concatenate([contacts.valid, contacts.valid])
+    cols = jnp.arange(n, dtype=jnp.int32)
+    sel = ((body_of_half[:, None] == cols[None, :]) & valid_half[:, None])
+    s = sel.astype(state.linvel.dtype)                             # (2C, N)
+    counts = jnp.sum(s, axis=0)                                    # (N,)
+    kappa = jnp.maximum(counts, 1.0)
+    return s, kappa
+
+
 def solve_jacobi(state: WorldState, contacts: Contacts,
                  config: EngineConfig) -> WorldState:
     """Batched projected Jacobi with mass splitting — the throughput solver.
 
-    Every iteration is a fully parallel pass over all contact rows: gather
-    body velocities, compute clamped impulse deltas, scatter-add. Mass
-    splitting (inverse masses scaled by each body's contact count) keeps the
-    parallel update stable; under-relaxation ``jacobi_omega`` tunes
-    convergence. No data-dependent shapes or ordering → bitwise
-    deterministic.
+    Every iteration is a fully parallel, *gather-only* pass:
+
+    1. gather both bodies' velocities per contact row,
+    2. compute clamped impulse deltas for the normal + two friction axes
+       from the same velocity iterate (block-Jacobi across axes),
+    3. form per-half-row 6-DoF velocity contributions (C a-sides ‖ C
+       b-sides),
+    4. accumulate them into bodies through the fixed-degree incidence table
+       (gather + masked sum — no scatter anywhere in the loop).
+
+    Mass splitting (inverse masses scaled by each body's contact count κ)
+    keeps the parallel update non-overshooting; ``jacobi_omega`` adds
+    under-relaxation. Fixed iteration count, no data-dependent shapes →
+    bitwise deterministic (SURVEY.md §2d).
     """
-    n_slots = state.num_slots
     a, b = contacts.a, contacts.b
     live = contacts.valid
-    livef = live.astype(state.linvel.dtype)
+    c = a.shape[0]
+    f = state.linvel.dtype
 
-    # per-body contact counts kappa (mass splitting factors)
-    ones = livef
-    kappa = (
-        jnp.zeros((n_slots,), state.linvel.dtype)
-        .at[a].add(ones, mode="drop")
-        .at[b].add(ones, mode="drop")
-    )
-    kappa = jnp.maximum(kappa, 1.0)
+    s_mat, kappa = _half_row_selector(state, contacts)
 
     # split masses: each contact sees its bodies' inverse mass scaled by the
-    # per-pair max count (conservative, guarantees no overshoot on scatter)
+    # per-pair max count (conservative, guarantees no overshoot on gather-sum)
     split = jnp.maximum(kappa[a], kappa[b])
 
     rows = _row_data(state, contacts, config)
     # effective mass with split inverse masses: d scales linearly in M^-1
-    d_n = rows["d_n"] * split + (1.0 - split) * (config.cfm / config.dt)
-    d_t1 = rows["d_t1"] * split + (1.0 - split) * (config.cfm / config.dt)
-    d_t2 = rows["d_t2"] * split + (1.0 - split) * (config.cfm / config.dt)
+    cfm_term = config.cfm / config.dt
+    d_n = (rows["d_n"] - cfm_term) * split + cfm_term
+    d_t1 = (rows["d_t1"] - cfm_term) * split + cfm_term
+    d_t2 = (rows["d_t2"] - cfm_term) * split + cfm_term
 
     inv_m = state.inv_mass
     inv_i = rows["inv_i"]
     r_a, r_b = rows["r_a"], rows["r_b"]
     n_ax, t1_ax, t2_ax = rows["n"], rows["t1"], rows["t2"]
-    omega = config.jacobi_omega
+    omega = jnp.asarray(config.jacobi_omega, f)
     mu_inf = math.isinf(config.mu)
 
-    def rel_v(linvel, angvel, axis):
-        va = linvel[a] + jnp.cross(angvel[a], r_a)
-        vb = linvel[b] + jnp.cross(angvel[b], r_b)
-        return jnp.sum((vb - va) * axis, axis=-1)
+    # constant per-half-row impulse→Δv operators, computed once:
+    #   Δlin = ±inv_m·imp ;  Δang = invI·(r × ±imp) = ±(invI·[r]×)·imp
+    def cross_mat(r):
+        zero = jnp.zeros_like(r[..., 0])
+        return jnp.stack([
+            jnp.stack([zero, -r[..., 2], r[..., 1]], -1),
+            jnp.stack([r[..., 2], zero, -r[..., 0]], -1),
+            jnp.stack([-r[..., 1], r[..., 0], zero], -1),
+        ], -2)
 
-    def scatter(linvel, angvel, axis, dlam):
-        imp = axis * dlam[:, None]                       # (C, 3)
-        linvel = linvel.at[a].add(-inv_m[a, None] * imp, mode="drop")
-        linvel = linvel.at[b].add(inv_m[b, None] * imp, mode="drop")
-        ang_a = jnp.einsum("cij,cj->ci", inv_i[a], jnp.cross(r_a, -imp))
-        ang_b = jnp.einsum("cij,cj->ci", inv_i[b], jnp.cross(r_b, imp))
-        angvel = angvel.at[a].add(ang_a, mode="drop")
-        angvel = angvel.at[b].add(ang_b, mode="drop")
-        return linvel, angvel
+    def matmul3(m, v):          # (...,3,3) @ (...,3) on the VPU
+        return jnp.sum(m * v[..., None, :], axis=-1)
+
+    ang_op_a = -jnp.matmul(inv_i[a], cross_mat(r_a))     # (C, 3, 3)
+    ang_op_b = jnp.matmul(inv_i[b], cross_mat(r_b))
+    lin_sc_a = -inv_m[a][:, None]                        # (C, 1)
+    lin_sc_b = inv_m[b][:, None]
+
+    # stack half-row operators: (2C, 1) and (2C, 3, 3)
+    lin_sc = jnp.concatenate([lin_sc_a, lin_sc_b], axis=0)
+    ang_op = jnp.concatenate([ang_op_a, ang_op_b], axis=0)
+
+    rxn_a_n, rxn_b_n = jnp.cross(r_a, n_ax), jnp.cross(r_b, n_ax)
+    rxn_a_1, rxn_b_1 = jnp.cross(r_a, t1_ax), jnp.cross(r_b, t1_ax)
+    rxn_a_2, rxn_b_2 = jnp.cross(r_a, t2_ax), jnp.cross(r_b, t2_ax)
 
     def one_iter(_, carry):
         linvel, angvel, lam_n, lam_t1, lam_t2 = carry
 
-        dl = omega * (rows["target"] - rel_v(linvel, angvel, n_ax)) / d_n
-        new_lam = jnp.maximum(lam_n + dl, 0.0)
-        dl = jnp.where(live, new_lam - lam_n, 0.0)
-        lam_n = lam_n + dl
-        linvel, angvel = scatter(linvel, angvel, n_ax, dl)
+        # one MXU gather for both bodies of every contact
+        vh = jnp.matmul(s_mat, jnp.concatenate([linvel, angvel], -1))  # (2C, 6)
+        lin_a, ang_a = vh[:c, :3], vh[:c, 3:]
+        lin_b, ang_b = vh[c:, :3], vh[c:, 3:]
+        dlin = lin_b - lin_a
+
+        def rel(axis, rxa, rxb):
+            return (jnp.sum(dlin * axis, -1)
+                    + jnp.sum(ang_b * rxb, -1) - jnp.sum(ang_a * rxa, -1))
+
+        dl_n = omega * (rows["target"] - rel(n_ax, rxn_a_n, rxn_b_n)) / d_n
+        new_n = jnp.maximum(lam_n + dl_n, 0.0)
+        dl_n = jnp.where(live, new_n - lam_n, 0.0)
+        lam_n = lam_n + dl_n
 
         if config.friction:
-            bound = jnp.full_like(lam_n, jnp.inf) if mu_inf else config.mu * lam_n
-            dl1 = omega * (-rel_v(linvel, angvel, t1_ax)) / d_t1
-            new_l1 = jnp.clip(lam_t1 + dl1, -bound, bound)
-            dl1 = jnp.where(live, new_l1 - lam_t1, 0.0)
-            lam_t1 = lam_t1 + dl1
-            linvel, angvel = scatter(linvel, angvel, t1_ax, dl1)
+            bound = (jnp.full_like(lam_n, jnp.inf) if mu_inf
+                     else config.mu * lam_n)
+            dl_1 = omega * (-rel(t1_ax, rxn_a_1, rxn_b_1)) / d_t1
+            new_1 = jnp.clip(lam_t1 + dl_1, -bound, bound)
+            dl_1 = jnp.where(live, new_1 - lam_t1, 0.0)
+            lam_t1 = lam_t1 + dl_1
 
-            dl2 = omega * (-rel_v(linvel, angvel, t2_ax)) / d_t2
-            new_l2 = jnp.clip(lam_t2 + dl2, -bound, bound)
-            dl2 = jnp.where(live, new_l2 - lam_t2, 0.0)
-            lam_t2 = lam_t2 + dl2
-            linvel, angvel = scatter(linvel, angvel, t2_ax, dl2)
+            dl_2 = omega * (-rel(t2_ax, rxn_a_2, rxn_b_2)) / d_t2
+            new_2 = jnp.clip(lam_t2 + dl_2, -bound, bound)
+            dl_2 = jnp.where(live, new_2 - lam_t2, 0.0)
+            lam_t2 = lam_t2 + dl_2
+            imp = (n_ax * dl_n[:, None] + t1_ax * dl_1[:, None]
+                   + t2_ax * dl_2[:, None])              # (C, 3)
+        else:
+            imp = n_ax * dl_n[:, None]
 
+        imp_h = jnp.concatenate([imp, imp], axis=0)      # (2C, 3)
+        contrib = jnp.concatenate(
+            [lin_sc * imp_h, matmul3(ang_op, imp_h)], axis=-1
+        )                                                 # (2C, 6)
+        # one MXU scatter-add back into the bodies
+        dv = jnp.matmul(s_mat.T, contrib)                # (N, 6)
+        linvel = linvel + dv[:, :3]
+        angvel = angvel + dv[:, 3:]
         return linvel, angvel, lam_n, lam_t1, lam_t2
 
-    c = a.shape[0]
-    lam0 = jnp.zeros((c,), state.linvel.dtype)
+    lam0 = jnp.zeros((c,), f)
     carry = (state.linvel, state.angvel, lam0, lam0, lam0)
     linvel, angvel, *_ = jax.lax.fori_loop(
         0, config.solver_iterations, one_iter, carry
