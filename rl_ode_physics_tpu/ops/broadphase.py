@@ -92,41 +92,48 @@ def compute_aabbs(state: WorldState, margin: float = 0.0) -> jnp.ndarray:
 
 def broadphase(state: WorldState, config: EngineConfig,
                margin: float = 0.0) -> PairCandidates:
-    """All-pairs AABB + mask test, compacted to ``max_pair_candidates``."""
+    """All-pairs AABB + mask test, compacted to ``max_pair_candidates``.
+
+    Computed as dense (N, N) broadcast masks — zero gathers (batched gathers
+    carry a high fixed cost on TPU); pair indices fall out of the compacted
+    flat index arithmetically (i = idx // N, j = idx % N).
+    """
     n = state.num_slots
     cp = config.max_pair_candidates
-    ia, ib = _tri_indices(n)
 
     aabb = compute_aabbs(state, margin)
     lo, hi = aabb[..., 0, :], aabb[..., 1, :]
 
     overlap = jnp.all(
-        (lo[ia] <= hi[ib]) & (lo[ib] <= hi[ia]), axis=-1
-    )
+        (lo[:, None, :] <= hi[None, :, :]) & (lo[None, :, :] <= hi[:, None, :]),
+        axis=-1,
+    )                                                        # (N, N)
 
     # ODE collision filter: (cat1 & col2) || (cat2 & col1)
     cat, col = state.category, state.collide
-    mask_ok = ((cat[ia] & col[ib]) != 0) | ((cat[ib] & col[ia]) != 0)
+    mask_ok = (((cat[:, None] & col[None, :]) != 0)
+               | ((cat[None, :] & col[:, None]) != 0))
 
     active = state.active
-    both_active = active[ia] & active[ib]
+    both_active = active[:, None] & active[None, :]
 
     # A contact between two infinite-mass bodies (static or kinematic) can
     # produce no impulse — skip, like ODE skips geom pairs with no body.
     movable = state.inv_mass > 0
-    any_movable = movable[ia] | movable[ib]
+    any_movable = movable[:, None] | movable[None, :]
 
-    hit = overlap & mask_ok & both_active & any_movable
+    # upper-triangular (i < j) to count each pair once
+    upper = (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
+
+    hit = (overlap & mask_ok & both_active & any_movable & upper).reshape(n * n)
 
     # deterministic scatter-free compaction (top_k; see ops/compaction.py)
     from rl_ode_physics_tpu.ops.compaction import compact_mask
 
     idx, valid, count, overflow = compact_mask(hit, cp)
-    ia_arr = jnp.asarray(ia)
-    ib_arr = jnp.asarray(ib)
     return PairCandidates(
-        ia=jnp.where(valid, ia_arr[idx], 0),
-        ib=jnp.where(valid, ib_arr[idx], 0),
+        ia=jnp.where(valid, idx // n, 0),
+        ib=jnp.where(valid, idx % n, 0),
         valid=valid,
         count=count,
         overflow=overflow,

@@ -38,6 +38,29 @@ from rl_ode_physics_tpu.utils import quat as quat_m
 _EPS = 1e-9
 
 
+# --- tiny-dim dynamic-index helpers ---------------------------------------
+# Batched dynamic indexing (arr[traced_idx] under vmap) lowers to XLA gather,
+# which is pathologically slow on TPU when fused. For 3/8/9-wide axes a
+# one-hot compare + masked sum is pure VPU and fuses cleanly.
+
+def _sel(v, idx):
+    """v (k,) indexed by traced scalar idx → scalar (VPU one-hot select)."""
+    k = v.shape[0]
+    oh = jnp.arange(k) == idx
+    return jnp.sum(jnp.where(oh, v, jnp.zeros_like(v)))
+
+
+def _sel_row(m, idx):
+    """m (k, d) row-select by traced scalar idx → (d,)."""
+    k = m.shape[0]
+    oh = jnp.arange(k) == idx
+    return jnp.sum(jnp.where(oh[:, None], m, jnp.zeros_like(m)), axis=0)
+
+
+def _onehot(idx, k, dtype):
+    return (jnp.arange(k) == idx).astype(dtype)
+
+
 @struct.dataclass
 class Contacts:
     """Static-capacity contact rows for the solver (per world)."""
@@ -99,14 +122,17 @@ def _sphere_box_core(center, radius, pb, rb_mat, half):
     # center inside box: push out along the closest face
     face_dist = half - jnp.abs(p_local)       # (3,) ≥ 0 inside
     ax = jnp.argmin(face_dist)
-    sign = jnp.where(p_local[ax] >= 0.0, 1.0, -1.0)
-    n_local_in = jnp.zeros(3, p_local.dtype).at[ax].set(sign)
-    depth_in = radius + face_dist[ax]
+    oh = _onehot(ax, 3, p_local.dtype)
+    p_ax = jnp.sum(p_local * oh)
+    fd_ax = jnp.sum(face_dist * oh)
+    sign = jnp.where(p_ax >= 0.0, 1.0, -1.0)
+    n_local_in = oh * sign
+    depth_in = radius + fd_ax
 
     n_local = jnp.where(outside, n_local_out, n_local_in)
     depth = jnp.where(outside, depth_out, depth_in)
     surf_local = jnp.where(outside, clamped,
-                           p_local + n_local_in * face_dist[ax])
+                           p_local + n_local_in * fd_ax)
     point = pb + rb_mat @ surf_local
     n_world = rb_mat @ n_local
     return point, n_world, depth
@@ -148,13 +174,26 @@ def _box_plane(pa, qa, sa, pb, qb, sb, k):
     depths = d_p - corners @ n_p
     valid = depths > 0.0
     normals = jnp.broadcast_to(-n_p, (8, 3))
-    pts, nrm, dep, val = corners, normals, depths, valid
     if k < 8:
-        # keep the k deepest (deterministic top-k)
-        top = jax.lax.top_k(dep, k)[1]
-        pts, nrm, dep, val = pts[top], nrm[top], dep[top], val[top]
-        return pts, nrm, dep, val
-    return _pad_manifold(pts, nrm, dep, val, k)
+        return _topk_manifold(corners, normals, depths, valid, k)
+    return _pad_manifold(corners, normals, depths, valid, k)
+
+
+def _topk_manifold(points, normals, depths, valid, k):
+    """Keep the k deepest valid contacts of an 8-slot manifold.
+
+    Selection via a one-hot matmul rather than fancy indexing — batched
+    gathers are slow on TPU (see _sel)."""
+    keys = jnp.where(valid, depths, -jnp.inf)
+    top = jax.lax.top_k(keys, k)[1]                     # (k,)
+    sel = (top[:, None] == jnp.arange(points.shape[0])[None, :]
+           ).astype(points.dtype)                       # (k, 8)
+    return (
+        sel @ points,
+        sel @ normals,
+        sel @ depths,
+        (sel @ valid.astype(points.dtype)) > 0.5,
+    )
 
 
 def _segment_endpoints(p, q, length):
@@ -344,33 +383,37 @@ def _box_box(pa, qa, sa, pb, qb, sb, k):
     best_face_code = jnp.argmax(jnp.concatenate([sep_a, sep_b]))
     edge_adj = jnp.where(edge_oks, edge_seps * jnp.where(edge_seps < 0, 1.0 / fudge, fudge), -jnp.inf)
     best_edge_idx = jnp.argmax(edge_adj)
-    use_edge = edge_adj[best_edge_idx] > best_face_sep
+    use_edge = _sel(edge_adj, best_edge_idx) > best_face_sep
 
     # --------------------------- edge-edge case ---------------------------
-    u_a = edge_units[best_edge_idx]                   # axis in A frame
+    u_a = _sel_row(edge_units, best_edge_idx)         # axis in A frame
     sign_e = jnp.where(jnp.dot(u_a, t) >= 0.0, 1.0, -1.0)
     n_a = u_a * sign_e                                # from A toward B, A frame
     n_world_edge = ra @ n_a
     ei = best_edge_idx // 3                           # edge direction index on A
     ej = best_edge_idx % 3                            # edge direction index on B
+    oh_ei = _onehot(ei, 3, dtype)
+    oh_ej = _onehot(ej, 3, dtype)
+    ha_ei = jnp.sum(ha * oh_ei)
+    hb_ej = jnp.sum(hb * oh_ej)
 
     # supporting edge on A: corner most along +n_a, direction e_{ei}
-    sgn_a = jnp.where(n_a >= 0.0, 1.0, -1.0).at[ei].set(0.0)
+    sgn_a = jnp.where(n_a >= 0.0, 1.0, -1.0) * (1.0 - oh_ei)
     pa_sup = pa + ra @ (sgn_a * ha)
-    da = ra[:, ei]
-    a0 = pa_sup - da * ha[ei]
-    a1 = pa_sup + da * ha[ei]
+    da = ra @ oh_ei                                   # column ei of ra
+    a0 = pa_sup - da * ha_ei
+    a1 = pa_sup + da * ha_ei
 
     n_b_frame = -(c.T @ n_a)                          # from B toward A in B frame
-    sgn_b = jnp.where(n_b_frame >= 0.0, 1.0, -1.0).at[ej].set(0.0)
+    sgn_b = jnp.where(n_b_frame >= 0.0, 1.0, -1.0) * (1.0 - oh_ej)
     pb_sup = pb + rb @ (sgn_b * hb)
-    db = rb[:, ej]
-    b0 = pb_sup - db * hb[ej]
-    b1 = pb_sup + db * hb[ej]
+    db = rb @ oh_ej
+    b0 = pb_sup - db * hb_ej
+    b1 = pb_sup + db * hb_ej
 
     ca, cb = _segment_segment(a0, a1, b0, b1)
     edge_point = 0.5 * (ca + cb)
-    edge_depth = -edge_seps[best_edge_idx]
+    edge_depth = -_sel(edge_seps, best_edge_idx)
 
     # --------------------------- face case --------------------------------
     # Reference box R (owns the face), incident box I.
@@ -386,7 +429,7 @@ def _box_box(pa, qa, sa, pb, qb, sb, k):
 
     # face normal on reference box pointing toward the incident box
     axes_ref = r_ref.T                                 # rows = world axes of ref
-    n_ref_raw = axes_ref[axis_idx]
+    n_ref_raw = _sel_row(axes_ref, axis_idx)
     to_inc = p_inc - p_ref
     sign_f = jnp.where(jnp.dot(n_ref_raw, to_inc) >= 0.0, 1.0, -1.0)
     n_ref = n_ref_raw * sign_f                         # world, ref → inc
@@ -396,22 +439,25 @@ def _box_box(pa, qa, sa, pb, qb, sb, k):
     # build the reference-face in-plane basis (the other two axes)
     idx0 = jnp.where(axis_idx == 0, 1, 0)
     idx1 = jnp.where(axis_idx == 2, 1, 2)
-    u0 = axes_ref[idx0]
-    u1 = axes_ref[idx1]
-    hu0 = h_ref[idx0]
-    hu1 = h_ref[idx1]
-    face_center = p_ref + n_ref * h_ref[axis_idx]
+    u0 = _sel_row(axes_ref, idx0)
+    u1 = _sel_row(axes_ref, idx1)
+    hu0 = _sel(h_ref, idx0)
+    hu1 = _sel(h_ref, idx1)
+    face_center = p_ref + n_ref * _sel(h_ref, axis_idx)
 
     # incident face: the incident-box axis most anti-parallel to n_ref
     axes_inc = r_inc.T
     align = axes_inc @ n_ref                           # (3,)
     inc_axis = jnp.argmax(jnp.abs(align))
-    inc_sign = -jnp.sign(align[inc_axis])              # face whose normal opposes n_ref
-    inc_center = p_inc + axes_inc[inc_axis] * inc_sign * h_inc[inc_axis]
+    align_inc = _sel(align, inc_axis)
+    inc_sign = -jnp.sign(align_inc)                    # face whose normal opposes n_ref
+    inc_axis_vec = _sel_row(axes_inc, inc_axis)
+    h_inc_ax = _sel(h_inc, inc_axis)
+    inc_center = p_inc + inc_axis_vec * inc_sign * h_inc_ax
     j0 = jnp.where(inc_axis == 0, 1, 0)
     j1 = jnp.where(inc_axis == 2, 1, 2)
-    v0 = axes_inc[j0] * h_inc[j0]
-    v1 = axes_inc[j1] * h_inc[j1]
+    v0 = _sel_row(axes_inc, j0) * _sel(h_inc, j0)
+    v1 = _sel_row(axes_inc, j1) * _sel(h_inc, j1)
     quad_world = jnp.stack([
         inc_center + v0 + v1,
         inc_center + v0 - v1,
@@ -428,7 +474,7 @@ def _box_box(pa, qa, sa, pb, qb, sb, k):
     # lift back to 3D on the *incident* face plane to compute depth
     # depth of a candidate = distance of the corresponding incident-face
     # point below the reference face.
-    inc_n = axes_inc[inc_axis] * inc_sign               # incident face normal (world)
+    inc_n = inc_axis_vec * inc_sign                     # incident face normal (world)
     denom = jnp.dot(inc_n, n_ref)
     # point on incident face with in-plane coords (x, y):
     # p = face_center + x*u0 + y*u1 + z*n_ref, where z solves the incident plane
@@ -454,8 +500,7 @@ def _box_box(pa, qa, sa, pb, qb, sb, k):
     valid = valid & ~separated
 
     if k < 8:
-        top = jax.lax.top_k(jnp.where(valid, depths, -jnp.inf), k)[1]
-        return points[top], normals[top], depths[top], valid[top]
+        return _topk_manifold(points, normals, depths, valid, k)
     return _pad_manifold(points, normals, depths, valid, k)
 
 
@@ -530,34 +575,48 @@ def narrowphase(state: WorldState, cand: PairCandidates,
     k = config.max_contacts_per_pair
     ccap = config.max_contacts
     ia, ib = cand.ia, cand.ib
+    f = state.pos.dtype
+
+    # pack per-body features so each side costs ONE gather, not four
+    # (batched gathers have a high fixed cost on TPU)
+    feats = jnp.concatenate([
+        state.pos, state.quat, state.size,
+        state.body_type.astype(f)[:, None],
+    ], axis=-1)                                        # (N, 11)
+    fa = feats[ia]
+    fb = feats[ib]
 
     points, normals, depths, valid = jax.vmap(
         collide_pair, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
     )(
-        state.pos[ia], state.quat[ia], state.body_type[ia], state.size[ia],
-        state.pos[ib], state.quat[ib], state.body_type[ib], state.size[ib],
+        fa[:, 0:3], fa[:, 3:7], fa[:, 10].astype(jnp.int32), fa[:, 7:10],
+        fb[:, 0:3], fb[:, 3:7], fb[:, 10].astype(jnp.int32), fb[:, 7:10],
         k,
     )
     valid = valid & cand.valid[:, None]
 
-    # flatten (CP, K) → (CP*K,) and compact to capacity C
+    # flatten (CP, K) → (CP*K,), pack, and compact to capacity C via one
+    # top_k + one wide gather
     cp = ia.shape[0]
     flat_valid = valid.reshape(cp * k)
-    flat_points = points.reshape(cp * k, 3)
-    flat_normals = normals.reshape(cp * k, 3)
-    flat_depths = depths.reshape(cp * k)
-    flat_a = jnp.repeat(ia, k)
-    flat_b = jnp.repeat(ib, k)
+    packed = jnp.concatenate([
+        points.reshape(cp * k, 3),
+        normals.reshape(cp * k, 3),
+        depths.reshape(cp * k, 1),
+        jnp.repeat(ia, k).astype(f)[:, None],
+        jnp.repeat(ib, k).astype(f)[:, None],
+    ], axis=-1)                                        # (CP*K, 9)
 
     from rl_ode_physics_tpu.ops.compaction import compact_mask
 
     idx, cvalid, count, overflow = compact_mask(flat_valid, ccap)
+    rows = jnp.where(cvalid[:, None], packed[idx], 0.0)
     return Contacts(
-        point=jnp.where(cvalid[:, None], flat_points[idx], 0.0),
-        normal=jnp.where(cvalid[:, None], flat_normals[idx], 0.0),
-        depth=jnp.where(cvalid, flat_depths[idx], 0.0),
-        a=jnp.where(cvalid, flat_a[idx], 0),
-        b=jnp.where(cvalid, flat_b[idx], 0),
+        point=rows[:, 0:3],
+        normal=rows[:, 3:6],
+        depth=rows[:, 6],
+        a=rows[:, 7].astype(jnp.int32),
+        b=rows[:, 8].astype(jnp.int32),
         valid=cvalid,
         count=count,
         overflow=overflow,
