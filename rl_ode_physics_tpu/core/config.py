@@ -68,6 +68,10 @@ class EngineConfig:
 
     # --- numerics --------------------------------------------------------
     dtype: str = "float32"
+    # dtype of the solver's contact<->body selector matmuls (the dominant
+    # per-iteration cost). "bfloat16" halves bytes and doubles MXU rate; the
+    # selector itself is exact (0/1) — only gathered velocities are rounded.
+    solver_matmul_dtype: str = "float32"
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

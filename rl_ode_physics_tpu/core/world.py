@@ -189,7 +189,8 @@ def add_torque(state: WorldState, slot, torque) -> WorldState:
 # Step composition
 # ---------------------------------------------------------------------------
 
-def step(state: WorldState, config: EngineConfig) -> WorldState:
+def step(state: WorldState, config: EngineConfig, trimesh=None,
+         use_pallas: bool = False) -> WorldState:
     """One fixed 120 Hz substep (``src/main.c:212-214`` pipeline).
 
     collide-then-step like ODE: contacts are generated from current
@@ -197,9 +198,17 @@ def step(state: WorldState, config: EngineConfig) -> WorldState:
     impulsively, positions integrate with the corrected velocities. Contacts
     are per-step transients (no warm starting) — matching the reference's
     ``dJointGroupEmpty`` every substep.
+
+    ``trimesh``: optional static ``ops.trimesh.TriMesh`` (e.g. the teapot);
+    its contacts merge into the same solver buffer.
     """
     cand = bp.broadphase(state, config)
-    contacts = np_ops.narrowphase(state, cand, config)
+    extra = None
+    if trimesh is not None:
+        from rl_ode_physics_tpu.ops.trimesh import mesh_narrowphase
+        extra = mesh_narrowphase(state, trimesh, config,
+                                 use_pallas=use_pallas)
+    contacts = np_ops.narrowphase(state, cand, config, extra)
     state = integrator.apply_external_forces(state, config)
     state = solver_ops.solve(state, contacts, config)
     state = integrator.integrate_positions(state, config)
@@ -232,16 +241,34 @@ def step_with_diagnostics(state: WorldState, config: EngineConfig):
     return state, metrics
 
 
-@functools.lru_cache(maxsize=None)
-def make_step_fn(config: EngineConfig, substeps: int = 1, donate: bool = True):
+def make_step_fn(config: EngineConfig, substeps: int = 1, donate: bool = True,
+                 trimesh=None, use_pallas: bool = False):
     """Compile a (possibly multi-substep) step: state → state.
 
     ``substeps > 1`` rolls the fixed-dt substep loop into the compiled
     program with ``lax.scan`` (the accumulator loop of ``src/main.c:211-216``
     without host round-trips — on TPU the whole 120 Hz cadence between 60 Hz
     snapshots is one device launch). ``donate`` enables XLA buffer donation
-    so the world state updates in place in HBM.
+    so the world state updates in place in HBM. ``trimesh`` (a static
+    ``TriMesh``) is baked into the compiled program as constants.
     """
+    if trimesh is None:
+        # hashable args → share compilations across callers
+        return _make_step_fn_cached(config, substeps, donate)
+
+    def fn(state: WorldState) -> WorldState:
+        if substeps == 1:
+            return step(state, config, trimesh, use_pallas)
+        def body(s, _):
+            return step(s, config, trimesh, use_pallas), None
+        state, _ = jax.lax.scan(body, state, None, length=substeps)
+        return state
+
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+@functools.lru_cache(maxsize=None)
+def _make_step_fn_cached(config: EngineConfig, substeps: int, donate: bool):
     def fn(state: WorldState) -> WorldState:
         if substeps == 1:
             return step(state, config)

@@ -122,10 +122,16 @@ def broadphase(state: WorldState, config: EngineConfig,
     movable = state.inv_mass > 0
     any_movable = movable[:, None] | movable[None, :]
 
+    # trimesh slots collide through the dedicated mesh narrowphase
+    # (ops/trimesh.py), not the primitive pair pipeline
+    not_mesh = state.body_type != BodyType.TRIMESH
+    no_mesh_pair = not_mesh[:, None] & not_mesh[None, :]
+
     # upper-triangular (i < j) to count each pair once
     upper = (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
 
-    hit = (overlap & mask_ok & both_active & any_movable & upper).reshape(n * n)
+    hit = (overlap & mask_ok & both_active & any_movable & no_mesh_pair
+           & upper).reshape(n * n)
 
     # deterministic scatter-free compaction (top_k; see ops/compaction.py)
     from rl_ode_physics_tpu.ops.compaction import compact_mask

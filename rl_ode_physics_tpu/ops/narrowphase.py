@@ -563,7 +563,7 @@ def collide_pair(pos_a, quat_a, type_a, size_a,
 
 
 def narrowphase(state: WorldState, cand: PairCandidates,
-                config: EngineConfig) -> Contacts:
+                config: EngineConfig, extra=None) -> Contacts:
     """Run pair kernels on broadphase candidates; compact into contact rows.
 
     Two-stage static-shape pipeline (SURVEY.md §7 step 3): gather candidate
@@ -606,6 +606,17 @@ def narrowphase(state: WorldState, cand: PairCandidates,
         jnp.repeat(ia, k).astype(f)[:, None],
         jnp.repeat(ib, k).astype(f)[:, None],
     ], axis=-1)                                        # (CP*K, 9)
+
+    if extra is not None:
+        # extra manifold source (e.g. trimesh narrowphase): flat arrays
+        # (points, normals, depths, a, b, valid) appended before compaction
+        e_pts, e_nrm, e_dep, e_a, e_b, e_val = extra
+        e_packed = jnp.concatenate([
+            e_pts, e_nrm, e_dep[:, None],
+            e_a.astype(f)[:, None], e_b.astype(f)[:, None],
+        ], axis=-1)
+        packed = jnp.concatenate([packed, e_packed], axis=0)
+        flat_valid = jnp.concatenate([flat_valid, e_val])
 
     from rl_ode_physics_tpu.ops.compaction import compact_mask
 

@@ -296,11 +296,17 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
     rxn_a_1, rxn_b_1 = jnp.cross(r_a, t1_ax), jnp.cross(r_b, t1_ax)
     rxn_a_2, rxn_b_2 = jnp.cross(r_a, t2_ax), jnp.cross(r_b, t2_ax)
 
+    mm_dtype = jnp.dtype(config.solver_matmul_dtype)
+    s_mm = s_mat.astype(mm_dtype)
+    s_mm_t = s_mm.T
+
     def one_iter(_, carry):
         linvel, angvel, lam_n, lam_t1, lam_t2 = carry
 
         # one MXU gather for both bodies of every contact
-        vh = jnp.matmul(s_mat, jnp.concatenate([linvel, angvel], -1))  # (2C, 6)
+        vel6 = jnp.concatenate([linvel, angvel], -1).astype(mm_dtype)
+        vh = jnp.matmul(s_mm, vel6,
+                        preferred_element_type=f)          # (2C, 6)
         lin_a, ang_a = vh[:c, :3], vh[:c, 3:]
         lin_b, ang_b = vh[c:, :3], vh[c:, 3:]
         dlin = lin_b - lin_a
@@ -336,7 +342,8 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
             [lin_sc * imp_h, matmul3(ang_op, imp_h)], axis=-1
         )                                                 # (2C, 6)
         # one MXU scatter-add back into the bodies
-        dv = jnp.matmul(s_mat.T, contrib)                # (N, 6)
+        dv = jnp.matmul(s_mm_t, contrib.astype(mm_dtype),
+                        preferred_element_type=f)        # (N, 6)
         linvel = linvel + dv[:, :3]
         angvel = angvel + dv[:, 3:]
         return linvel, angvel, lam_n, lam_t1, lam_t2
