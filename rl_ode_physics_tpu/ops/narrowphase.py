@@ -161,9 +161,12 @@ def _sphere_plane(pa, qa, sa, pb, qb, sb, k):
                          (depth > 0.0)[None], k)
 
 
-_BOX_CORNERS = jnp.array(
+# host constant (numpy, NOT jnp: module import must not initialize a backend)
+import numpy as _np
+
+_BOX_CORNERS = _np.array(
     [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
-     for sz in (-1.0, 1.0)]
+     for sz in (-1.0, 1.0)], _np.float32,
 )  # (8, 3)
 
 
