@@ -35,7 +35,7 @@ namespace {
 constexpr uint32_t kMagic = 0x52545055;  // 'RTPU'
 constexpr size_t kMaxPayload = 1200;
 constexpr double kRtoSeconds = 0.05;
-constexpr int kMaxRetries = 40;
+constexpr int kMaxRetries = 300;
 constexpr int kNumChannels = 2;
 
 enum Flags : uint8_t {
@@ -77,7 +77,7 @@ struct Address {
 };
 
 struct Pending {
-  std::vector<std::vector<uint8_t>> packets;
+  std::map<int, std::vector<uint8_t>> packets;  // frag_idx → unacked datagram
   double sent_at = 0.0;
   int retries = 0;
 };
@@ -108,6 +108,9 @@ class Host {
  public:
   Host(int port, int max_peers) : max_peers_(max_peers) {
     fd_ = socket(AF_INET, SOCK_DGRAM, 0);
+    int buf = 4 * 1024 * 1024;  // 60 Hz × 78 KB snapshots need depth
+    setsockopt(fd_, SOL_SOCKET, SO_RCVBUF, &buf, sizeof(buf));
+    setsockopt(fd_, SOL_SOCKET, SO_SNDBUF, &buf, sizeof(buf));
     sockaddr_in sa{};
     sa.sin_family = AF_INET;
     sa.sin_addr.s_addr = INADDR_ANY;
@@ -154,7 +157,7 @@ class Host {
       memcpy(pkt.data(), &h, sizeof(h));
       if (chunk) memcpy(pkt.data() + sizeof(h), data + off, chunk);
       SendTo(pkt, p->addr);
-      if (reliable) pend.packets.push_back(std::move(pkt));
+      if (reliable) pend.packets[static_cast<int>(i)] = std::move(pkt);
     }
     if (reliable) {
       pend.sent_at = MonotonicSeconds();
@@ -254,7 +257,7 @@ class Host {
             dead.push_back(p.addr);
             break;
           }
-          for (auto& pkt : pend.packets) SendTo(pkt, p.addr);
+          for (auto& pkt : pend.packets) SendTo(pkt.second, p.addr);
           pend.sent_at = now;
         }
       }
@@ -314,13 +317,18 @@ class Host {
     if (ch < 0 || ch >= kNumChannels) return;
 
     if (h.flags & kAck) {
-      p.pending.erase({ch, h.seq});
+      // per-fragment ack: frag_idx names the acknowledged datagram
+      auto pit = p.pending.find({ch, h.seq});
+      if (pit != p.pending.end()) {
+        pit->second.packets.erase(h.frag_idx);
+        if (pit->second.packets.empty()) p.pending.erase(pit);
+      }
       return;
     }
 
     if (h.flags & kReliable) {
       std::vector<uint8_t> pkt(sizeof(Header));
-      Header ack{kMagic, kAck, static_cast<uint8_t>(ch), 0, 1, h.seq};
+      Header ack{kMagic, kAck, static_cast<uint8_t>(ch), h.frag_idx, 1, h.seq};
       memcpy(pkt.data(), &ack, sizeof(ack));
       SendTo(pkt, addr);
     }

@@ -172,6 +172,28 @@ def release_body(state: WorldState, slot) -> WorldState:
     return _set_slot(state, slot, body_type=int(BodyType.NULL))
 
 
+def set_body_pose(state: WorldState, slot, pos=None, quat=None,
+                  linvel=None, angvel=None) -> WorldState:
+    """dBodySetPosition/Rotation/LinearVel analog for one slot (jit-safe).
+
+    Used for kinematic bodies (player capsules) driven by external targets.
+    """
+    updates = {}
+    if pos is not None:
+        updates["pos"] = state.pos.at[slot].set(
+            jnp.asarray(pos, state.pos.dtype))
+    if quat is not None:
+        updates["quat"] = state.quat.at[slot].set(
+            jnp.asarray(quat, state.quat.dtype))
+    if linvel is not None:
+        updates["linvel"] = state.linvel.at[slot].set(
+            jnp.asarray(linvel, state.linvel.dtype))
+    if angvel is not None:
+        updates["angvel"] = state.angvel.at[slot].set(
+            jnp.asarray(angvel, state.angvel.dtype))
+    return state.replace(**updates)
+
+
 def add_force(state: WorldState, slot, force) -> WorldState:
     """dBodyAddForce analog (accumulator, cleared by the integrator)."""
     return state.replace(

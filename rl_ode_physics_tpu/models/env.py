@@ -1,0 +1,122 @@
+"""Batched RL environment wrapper — the "rl" in rl-ode-physics.
+
+BASELINE config 4 frames the throughput workload as "batched RL-style env
+throughput": thousands of vmapped worlds stepped in lockstep, each fed
+per-step actions. This wrapper packages the physics core as a purely
+functional, fully jittable environment:
+
+    env = PhysicsEnv(config, scene_fn, actor_slots=[4, 5], num_worlds=8192)
+    state, obs = env.reset(seed=0)
+    state, obs = env.step(state, actions)         # one 60 Hz control step
+    final, traj = env.rollout(state, action_seq)  # lax.scan over steps
+
+* actions: (num_worlds, num_actors, 6) — world-frame force (3) + torque (3)
+  applied to the actor slots for the duration of the control step
+  (the ``dBodyAddForce`` channel the reference left as a TODO,
+  ``src/main.c:531-532``).
+* observations: (num_worlds, N, 13) — pos(3) quat(4) linvel(3) angvel(3)
+  per slot; rewards/termination are caller-defined (pure functions of
+  state), keeping this layer task-agnostic.
+* ``substeps`` physics substeps (120 Hz) per control step — the reference's
+  2 substeps per 60 Hz broadcast.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rl_ode_physics_tpu.core.config import EngineConfig
+from rl_ode_physics_tpu.core.state import WorldState
+from rl_ode_physics_tpu.core.world import step as step_one
+from rl_ode_physics_tpu.parallel.batch import replicate
+
+
+def observe(state: WorldState) -> jnp.ndarray:
+    """(…, N, 13) observation tensor from a (possibly batched) state."""
+    return jnp.concatenate(
+        [state.pos, state.quat, state.linvel, state.angvel], axis=-1
+    )
+
+
+class PhysicsEnv:
+    def __init__(self, config: EngineConfig,
+                 scene_fn: Callable[[EngineConfig, int], WorldState],
+                 actor_slots: Sequence[int] = (),
+                 num_worlds: int = 1, substeps: int = 2,
+                 trimesh=None):
+        self.config = config
+        self.scene_fn = scene_fn
+        self.actor_slots = jnp.asarray(list(actor_slots), jnp.int32)
+        self.num_worlds = num_worlds
+        self.substeps = substeps
+        self.trimesh = trimesh
+        self._step = self._build_step()
+
+    @property
+    def num_actors(self) -> int:
+        return int(self.actor_slots.shape[0])
+
+    def reset(self, seed: int = 0) -> Tuple[WorldState, jnp.ndarray]:
+        world = self.scene_fn(self.config, seed)
+        batch = replicate(world, self.num_worlds)
+        return batch, observe(batch)
+
+    def _build_step(self):
+        config = self.config
+        actor_slots = self.actor_slots
+        substeps = self.substeps
+        trimesh = self.trimesh
+
+        def single(state: WorldState, action: jnp.ndarray) -> WorldState:
+            # apply actor forces/torques via one-hot projection (no scatter)
+            if actor_slots.shape[0]:
+                n = state.num_slots
+                onehot = (actor_slots[:, None]
+                          == jnp.arange(n, dtype=jnp.int32)[None, :]
+                          ).astype(state.force.dtype)       # (A, N)
+                force = jnp.einsum("an,ad->nd", onehot, action[:, 0:3])
+                torque = jnp.einsum("an,ad->nd", onehot, action[:, 3:6])
+            else:
+                force = jnp.zeros_like(state.force)
+                torque = jnp.zeros_like(state.torque)
+
+            def body(s, _):
+                # forces persist across the control step's substeps (the
+                # integrator clears accumulators, so re-arm each substep)
+                s = s.replace(force=s.force + force,
+                              torque=s.torque + torque)
+                return step_one(s, config, trimesh), None
+
+            state, _ = jax.lax.scan(body, state, None, length=substeps)
+            return state
+
+        batched = jax.vmap(single)
+
+        @jax.jit
+        def env_step(state: WorldState, actions: jnp.ndarray):
+            new_state = batched(state, actions)
+            return new_state, observe(new_state)
+
+        return env_step
+
+    def step(self, state: WorldState, actions: jnp.ndarray):
+        """One control step: (state, (B, A, 6) actions) → (state, obs)."""
+        return self._step(state, actions)
+
+    def rollout(self, state: WorldState, action_seq: jnp.ndarray):
+        """``lax.scan`` over (T, B, A, 6) actions → (final_state, (T, B, N, 13))."""
+        config, substeps = self.config, self.substeps
+        step_fn = self._step
+
+        @jax.jit
+        def run(state, action_seq):
+            def body(s, a):
+                s, obs = step_fn(s, a)
+                return s, obs
+            return jax.lax.scan(body, state, action_seq)
+
+        return run(state, action_seq)

@@ -55,14 +55,15 @@ class GameClient:
                 if self.local_id == -1:          # first-wins (src/main.c:422)
                     self.local_id = protocol.decode_player_id(ev.data)
             elif mtype is protocol.MsgType.C_UPDATE_PLAYERS:
-                incoming = protocol.decode_update_players(
-                    ev.data, self.players.shape[0])
+                incoming = protocol.decode_update_players(ev.data)
+                if incoming.shape[0] != self.players.shape[0]:
+                    self.players = protocol.empty_players(incoming.shape[0])
                 for i in range(self.players.shape[0]):
                     if i != self.local_id:       # skip self (src/main.c:433)
                         self.players[i] = incoming[i]
             elif mtype is protocol.MsgType.C_UPDATE_BODIES:
-                self.bodies = protocol.decode_update_bodies(
-                    ev.data, self.max_bodies)
+                self.bodies = protocol.decode_update_bodies(ev.data)
+                self.max_bodies = self.bodies.shape[0]
 
     def update(self, dt: float):
         """Throttled 60 Hz player-state upload (src/main.c:478-486)."""
@@ -78,16 +79,22 @@ class GameClient:
         self.peer.send(0, protocol.encode_new_body(
             body_type, transform16, size, color))
 
+    @staticmethod
+    def _identity_t16(pos):
+        """Row-major wire transform at ``pos`` with identity rotation —
+        pure numpy: the client must never stall its ack pump in a jit
+        compile (the spawn keys always send zero rotation,
+        src/main.c:511,529)."""
+        t16 = np.eye(4, dtype=np.float64).reshape(16)
+        t16[12:15] = pos
+        return t16
+
     def spawn_random(self):
         """The M-key spawner (src/main.c:502-522): random box or sphere at
         x,z∈[-4,4], y∈[20,50], using the reference's PRNG semantics."""
-        from rl_ode_physics_tpu.utils import transforms as tf
-        import jax.numpy as jnp
-
         pos = (self.rng.double(-4.0, 4.0), self.rng.double(20.0, 50.0),
                self.rng.double(-4.0, 4.0))
-        t16 = np.asarray(tf.mat16_rowmajor_from_pos_euler(
-            jnp.asarray(pos, jnp.float32), jnp.zeros(3, jnp.float32)))
+        t16 = self._identity_t16(pos)
         if self.rng.randint(0, 2) == 0:
             size = (self.rng.double(0.2, 1.0), self.rng.double(0.2, 1.0),
                     self.rng.double(0.2, 1.0))
@@ -99,11 +106,7 @@ class GameClient:
     def spawn_at_camera(self):
         """The SPACE spawner (src/main.c:523-533): r=0.15 sphere at the
         camera position."""
-        from rl_ode_physics_tpu.utils import transforms as tf
-        import jax.numpy as jnp
-
-        t16 = np.asarray(tf.mat16_rowmajor_from_pos_euler(
-            jnp.asarray(self.pos, jnp.float32), jnp.zeros(3, jnp.float32)))
+        t16 = self._identity_t16(self.pos)
         self.spawn_body(1, t16, (0.15, 0.0, 0.0), self.rng.color())
 
     def close(self):

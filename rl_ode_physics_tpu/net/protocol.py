@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import enum
 import functools
+from typing import Optional
 
 import numpy as np
 
@@ -146,9 +147,13 @@ def encode_update_players(players: np.ndarray) -> bytes:
     return rec.tobytes()
 
 
-def decode_update_players(data: bytes, max_players: int = MAX_PLAYERS):
+def decode_update_players(data: bytes, max_players: Optional[int] = None):
+    """max_players=None infers the roster size from the buffer length —
+    robust to peers compiled with a different MAX_PLAYERS."""
+    if max_players is None:
+        max_players = (len(data) - 4) // PLAYER_STATE_DTYPE.itemsize
     dt = msg_update_players_dtype(max_players)
-    rec = np.frombuffer(data, dt, count=1)[0]
+    rec = np.frombuffer(data[:dt.itemsize], dt, count=1)[0]
     return np.array(rec["players"])
 
 
@@ -161,9 +166,12 @@ def encode_update_bodies(bodies: np.ndarray) -> bytes:
     return rec.tobytes()
 
 
-def decode_update_bodies(data: bytes, max_bodies: int = MAX_BODIES):
+def decode_update_bodies(data: bytes, max_bodies: Optional[int] = None):
+    """max_bodies=None infers the body count from the buffer length."""
+    if max_bodies is None:
+        max_bodies = (len(data) - 8) // BODY_STATE_DTYPE.itemsize
     dt = msg_update_bodies_dtype(max_bodies)
-    rec = np.frombuffer(data, dt, count=1)[0]
+    rec = np.frombuffer(data[:dt.itemsize], dt, count=1)[0]
     return np.array(rec["bodies"])
 
 

@@ -33,19 +33,19 @@ def load_log(path: str) -> List[Intent]:
 
 
 def replay(intents: List[Intent], total_ticks: int,
-           config: Optional[EngineConfig] = None, seed: int = 0) -> SimCore:
+           config: Optional[EngineConfig] = None, seed: int = 0,
+           player_capsules: bool = False) -> SimCore:
     """Re-execute an intent stream against a fresh world; returns the
     SimCore at ``total_ticks``. Intents apply at their recorded tick
     boundary, before that tick's step — matching the server's event-then-
-    step ordering (src/main.c:142-216)."""
-    sim = SimCore(config, seed=seed)
-    queue = sorted(intents, key=lambda it: it.tick)
+    step ordering (src/main.c:142-216). Intents recorded at the same tick
+    keep their original relative order (stable sort)."""
+    sim = SimCore(config, seed=seed, player_capsules=player_capsules)
+    queue = sorted(intents, key=lambda it: it.tick)   # stable
     qi = 0
     while sim.tick < total_ticks:
         while qi < len(queue) and queue[qi].tick == sim.tick:
-            it = queue[qi]
-            if it.kind == "spawn":
-                sim._apply_spawn(it.payload)
+            sim.apply_intent(queue[qi])
             qi += 1
         sim.advance(1)
     return sim

@@ -56,13 +56,28 @@ class SimCore:
     """
 
     def __init__(self, config: Optional[EngineConfig] = None,
-                 world: Optional[WorldState] = None, seed: int = 0):
+                 world: Optional[WorldState] = None, seed: int = 0,
+                 player_capsules: bool = False):
         self.config = config or EngineConfig()
         self.world = (world if world is not None
                       else scenes.grass_plane_world(self.config, seed))
         self._step1 = make_step_fn(self.config, substeps=1, donate=False)
         self.tick = 0
         self.intent_log: List[Intent] = []
+        # player embodiment (fixes the reference's floating-camera TODO,
+        # src/main.c:244: "make players special bodies instead of cameras")
+        self.player_capsules = player_capsules
+        self.player_slots: Dict[int, int] = {}
+        self._appliers = {
+            "spawn": self._apply_spawn,
+            "player_join": self._apply_player_join,
+            "player_move": self._apply_player_move,
+            "player_leave": self._apply_player_leave,
+        }
+
+    def apply_intent(self, intent: Intent):
+        """Dispatch a recorded intent (replay path)."""
+        return self._appliers[intent.kind](intent.payload)
 
     # --- intents ---------------------------------------------------------
 
@@ -101,6 +116,71 @@ class SimCore:
             color=payload["color"],
         )
         return int(slot)
+
+    # --- player embodiment intents ----------------------------------------
+
+    PLAYER_RADIUS = 0.5          # players drawn as r=0.5 spheres, src/main.c:315
+    PLAYER_LENGTH = 1.0
+    PLAYER_SPAWN = (0.0, 2.0, -3.0)   # playerCam default, src/player.c:8
+
+    def player_join(self, pid: int, record: bool = True) -> int:
+        if not self.player_capsules:
+            return -1
+        payload = dict(pid=int(pid))
+        if record:
+            self.intent_log.append(Intent(self.tick, "player_join", payload))
+        return self._apply_player_join(payload)
+
+    def _apply_player_join(self, payload: dict) -> int:
+        from rl_ode_physics_tpu.core.state import BodyType
+
+        self.world, slot = add_body(
+            self.world, int(BodyType.CAPSULE),
+            jnp.asarray(self.PLAYER_SPAWN, self.world.pos.dtype),
+            jnp.asarray([self.PLAYER_RADIUS, self.PLAYER_LENGTH, 0.0],
+                        self.world.size.dtype),
+            kinematic=True,
+            color=(0, 121, 241, 255),       # BLUE, src/main.c:315
+        )
+        self.player_slots[payload["pid"]] = int(slot)
+        return int(slot)
+
+    def player_move(self, pid: int, pos, record: bool = True):
+        """Kinematic capsule follows the player camera; its velocity is the
+        displacement over one broadcast interval so pushes transfer
+        momentum to dynamic bodies."""
+        if not self.player_capsules or pid not in self.player_slots:
+            return
+        payload = dict(pid=int(pid), pos=[float(x) for x in pos])
+        if record:
+            self.intent_log.append(Intent(self.tick, "player_move", payload))
+        self._apply_player_move(payload)
+
+    def _apply_player_move(self, payload: dict):
+        from rl_ode_physics_tpu.core.world import set_body_pose
+
+        slot = self.player_slots.get(payload["pid"], -1)
+        if slot < 0:
+            return
+        pos = jnp.asarray(payload["pos"], self.world.pos.dtype)
+        old = self.world.pos[slot]
+        vel = (pos - old) * 60.0            # BROADCAST_TIME cadence
+        self.world = set_body_pose(self.world, slot, pos=pos, linvel=vel)
+
+    def player_leave(self, pid: int, record: bool = True):
+        if not self.player_capsules or pid not in self.player_slots:
+            return
+        payload = dict(pid=int(pid))
+        if record:
+            self.intent_log.append(Intent(self.tick, "player_leave", payload))
+        self._apply_player_leave(payload)
+
+    def _apply_player_leave(self, payload: dict):
+        from rl_ode_physics_tpu.core.world import release_body
+
+        slot = self.player_slots.pop(payload["pid"], -1)
+        if slot >= 0:
+            self.world = release_body(self.world, slot)
 
     # --- stepping --------------------------------------------------------
 
@@ -143,8 +223,8 @@ class GameServer:
 
     def __init__(self, config: Optional[EngineConfig] = None,
                  port: int = PORT, max_players: int = protocol.MAX_PLAYERS,
-                 seed: int = 0):
-        self.sim = SimCore(config, seed=seed)
+                 seed: int = 0, player_capsules: bool = False):
+        self.sim = SimCore(config, seed=seed, player_capsules=player_capsules)
         self.host = Host(port=port, max_peers=max_players)
         self.max_players = max_players
         self.players = protocol.empty_players(max_players)
@@ -170,6 +250,7 @@ class GameServer:
             self.peer_to_player[ev.peer.addr] = pid
             ev.peer.send(0, protocol.encode_player_id(pid))
             self.player_dirty = True
+            self.sim.player_join(pid)
             self.log.append(f"assigned id {pid}")
         elif ev.type is EventType.RECEIVE:
             mtype = protocol.peek_type(ev.data)
@@ -181,6 +262,7 @@ class GameServer:
                     self.players["dir"][pid] = upd["dir"]
                     self.players["id"][pid] = pid
                     self.player_dirty = True
+                    self.sim.player_move(pid, upd["pos"])
             elif mtype is protocol.MsgType.S_NEW_BODY:
                 body = protocol.decode_new_body(ev.data)
                 slot = self.sim.spawn_body(
@@ -188,11 +270,15 @@ class GameServer:
                     body["color"])
                 if slot < 0:
                     self.log.append("spawn dropped: world full")
+                else:
+                    self.log.append(f"spawned body type {body['type']} "
+                                    f"slot {slot}")
         elif ev.type is EventType.DISCONNECT:
             pid = self.peer_to_player.pop(ev.peer.addr, None)
             if pid is not None:
                 self.players["id"][pid] = -1
                 self.player_dirty = True
+                self.sim.player_leave(pid)
                 self.log.append("client disconnected")
 
     # --- main loop -------------------------------------------------------
@@ -206,19 +292,33 @@ class GameServer:
             self.handle_event(ev)
             budget = 0.0
 
-    def tick(self, dt: float):
-        """Advance wall-clock dt: fixed-rate physics + 60 Hz broadcast
-        (the accumulator pattern of ``src/main.c:206-253``)."""
-        self._phys_accum += dt
-        substeps = int(self._phys_accum / PHYSICS_DT)
-        if substeps > 0:
-            self._phys_accum -= substeps * PHYSICS_DT
-            self.sim.advance(substeps)
+    MAX_SUBSTEPS_PER_TICK = 8    # spiral-of-death guard: drop time when the
+                                 # host can't sustain 120 Hz (e.g. first-call
+                                 # compile); the reference has no guard and
+                                 # would stall identically
 
+    def tick(self, dt: float):
+        """Advance wall-clock dt: 60 Hz broadcast + fixed-rate physics
+        (the accumulator pattern of ``src/main.c:206-253``).
+
+        Broadcast runs first so snapshots keep flowing even when the host
+        falls behind the 120 Hz physics cadence (sim time then dilates
+        instead of the stream stalling).
+        """
         self._bcast_accum += dt
         if self._bcast_accum >= BROADCAST_TIME:
             self._bcast_accum = 0.0
             self.broadcast()
+
+        self._phys_accum += dt
+        substeps = int(self._phys_accum / PHYSICS_DT)
+        if substeps > 0:
+            if substeps > self.MAX_SUBSTEPS_PER_TICK:
+                substeps = self.MAX_SUBSTEPS_PER_TICK
+                self._phys_accum = 0.0
+            else:
+                self._phys_accum -= substeps * PHYSICS_DT
+            self.sim.advance(substeps)
 
     def broadcast(self):
         self.host.broadcast(
@@ -232,6 +332,7 @@ class GameServer:
 
     def run(self, duration: Optional[float] = None):
         """Unconditional tick loop (fixes the idle-freeze defect)."""
+        self.sim.advance(1)          # warm the compile before serving
         t_prev = time.monotonic()
         t_end = None if duration is None else t_prev + duration
         while t_end is None or time.monotonic() < t_end:

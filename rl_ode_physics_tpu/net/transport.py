@@ -35,7 +35,9 @@ MAGIC = 0x52545055  # 'RTPU'
 HEADER = struct.Struct("<IBBHHI")  # magic, flags, channel, frag_idx, frag_cnt, seq
 MAX_PAYLOAD = 1200                  # per-datagram fragment payload
 RTO = 0.05                          # retransmit timeout (s)
-MAX_RETRIES = 40                    # ~2 s before peer considered dead
+MAX_RETRIES = 300                   # ~15 s before peer considered dead
+                                    # (ENet defaults to a ~30 s window; a
+                                    # client may stall in a jit compile)
 NUM_CHANNELS = 2                    # src/main.c:68
 
 
@@ -64,7 +66,7 @@ class Event:
 @dataclasses.dataclass
 class _Pending:
     seq: int
-    packets: List[bytes]
+    packets: Dict[int, bytes]    # frag_idx → datagram, removed when acked
     sent_at: float
     retries: int = 0
 
@@ -89,11 +91,11 @@ class Peer:
         frags = [data[i:i + MAX_PAYLOAD]
                  for i in range(0, max(len(data), 1), MAX_PAYLOAD)]
         flags = Flags.RELIABLE if reliable else Flags(0)
-        packets = []
+        packets = {}
         for idx, frag in enumerate(frags):
             hdr = HEADER.pack(MAGIC, int(flags), channel, idx, len(frags), seq)
-            packets.append(hdr + frag)
-        for p in packets:
+            packets[idx] = hdr + frag
+        for p in packets.values():
             self.host._sendto(p, self.addr)
         if reliable:
             self.pending[(channel, seq)] = _Pending(
@@ -113,6 +115,12 @@ class Host:
     def __init__(self, port: Optional[int] = None, max_peers: int = 32,
                  bind_host: str = "0.0.0.0"):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # 60 Hz × 78 KB snapshots need real buffer depth on loopback
+        for opt in (socket.SO_RCVBUF, socket.SO_SNDBUF):
+            try:
+                self.sock.setsockopt(socket.SOL_SOCKET, opt, 4 * 1024 * 1024)
+            except OSError:
+                pass
         if port is not None:
             self.sock.bind((bind_host, port))
         else:
@@ -202,7 +210,7 @@ class Host:
                     if pend.retries > MAX_RETRIES:
                         self._drop_peer(peer.addr)
                         break
-                    for p in pend.packets:
+                    for p in pend.packets.values():   # only unacked fragments
                         self._sendto(p, peer.addr)
                     pend.sent_at = now
 
@@ -264,11 +272,16 @@ class Host:
         peer.last_heard = now
 
         if Flags.ACK in flags:
-            peer.pending.pop((channel, seq), None)
+            # per-fragment ack: frag_idx identifies the acknowledged datagram
+            pend = peer.pending.get((channel, seq))
+            if pend is not None:
+                pend.packets.pop(frag_idx, None)
+                if not pend.packets:
+                    peer.pending.pop((channel, seq), None)
             return
 
         if Flags.RELIABLE in flags:
-            ack = HEADER.pack(MAGIC, int(Flags.ACK), channel, 0, 1, seq)
+            ack = HEADER.pack(MAGIC, int(Flags.ACK), channel, frag_idx, 1, seq)
             self._sendto(ack, addr)
 
         # drop stale/duplicate messages (already delivered)

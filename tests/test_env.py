@@ -1,0 +1,79 @@
+"""Batched RL environment wrapper: reset/step/rollout, action forces,
+device-side spawning inside jit."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rl_ode_physics_tpu.core.config import EngineConfig
+from rl_ode_physics_tpu.core.state import BodyType
+from rl_ode_physics_tpu.models import scenes
+from rl_ode_physics_tpu.models.env import PhysicsEnv, observe
+
+CFG = EngineConfig(max_bodies=8, max_pair_candidates=32, max_contacts=64)
+
+
+def _scene(config, seed):
+    return scenes.sphere_drop_world(config, height=1.0, seed=seed)
+
+
+def test_reset_step_shapes():
+    env = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=4, substeps=2)
+    state, obs = env.reset()
+    assert obs.shape == (4, 8, 13)
+    actions = jnp.zeros((4, 1, 6))
+    state, obs = env.step(state, actions)
+    assert obs.shape == (4, 8, 13)
+    assert int(state.tick[0]) == 2
+
+
+def test_action_force_lifts_sphere():
+    """Upward force > gravity on a 1 kg body accelerates it upward."""
+    env = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=2, substeps=2)
+    state, _ = env.reset()
+    up = jnp.zeros((2, 1, 6)).at[:, 0, 1].set(30.0)    # +y force, m=1, g=9.8
+    for _ in range(10):
+        state, obs = env.step(state, up)
+    assert float(state.linvel[0, 4, 1]) > 0.0
+    assert float(state.pos[0, 4, 1]) > 1.0
+
+    # zero action: falls
+    state2, _ = env.reset()
+    zero = jnp.zeros((2, 1, 6))
+    for _ in range(10):
+        state2, _ = env.step(state2, zero)
+    assert float(state2.linvel[0, 4, 1]) < 0.0
+
+
+def test_rollout_scan():
+    env = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=3, substeps=2)
+    state, _ = env.reset()
+    seq = jnp.zeros((20, 3, 1, 6))
+    final, traj = env.rollout(state, seq)
+    assert traj.shape == (20, 3, 8, 13)
+    assert int(final.tick[0]) == 40
+    # trajectory matches step-by-step execution bitwise
+    state2, _ = env.reset()
+    for t in range(20):
+        state2, obs2 = env.step(state2, seq[t])
+    assert np.array_equal(np.asarray(observe(state2)), np.asarray(traj[-1]))
+
+
+def test_spawn_inside_jit():
+    """add_body is jit-safe (argmax slot scan) — device-side spawning."""
+    from rl_ode_physics_tpu.core.world import add_body, step
+
+    @jax.jit
+    def spawn_and_step(state, pos):
+        state, slot = add_body(state, BodyType.SPHERE, pos, (0.2, 0.0, 0.0))
+        return step(state, CFG), slot
+
+    w = scenes.grass_plane_world(CFG)
+    w, slot = spawn_and_step(w, jnp.asarray([0.0, 3.0, 0.0]))
+    assert int(slot) == 4
+    assert int(jnp.sum(w.active)) == 5
+    # capacity exhaustion returns -1 (reference silently no-ops;
+    # we surface it — SURVEY.md §2e)
+    for i in range(CFG.max_bodies):
+        w, slot = spawn_and_step(w, jnp.asarray([0.0, 3.0 + i, 0.0]))
+    assert int(slot) == -1

@@ -211,3 +211,34 @@ def test_replay_bitwise_reproducible(tmp_path):
     r2 = replay_m.replay(log, sim.tick, SMALL, seed=3)
     assert r1.state_digest() == digest_live
     assert r2.state_digest() == digest_live
+
+
+def test_player_capsule_embodiment_and_replay(tmp_path):
+    """Players as kinematic capsules (the reference's src/main.c:244 TODO):
+    join → capsule spawns; move → capsule follows and pushes bodies;
+    the whole interaction replays bitwise from the intent log."""
+    sim = SimCore(SMALL, seed=9, player_capsules=True)
+    slot = sim.player_join(3)
+    assert slot >= 0
+    # drop a sphere in front of the spawn point, let it rest
+    t16 = np.eye(4).flatten(order="F")
+    t16[12:15] = [0.0, 1.2, -1.0]
+    sim.spawn_body(1, t16, (0.3, 0, 0), (1, 1, 1, 255))
+    sim.advance(60)
+    sphere_slot = 5
+    x0 = float(sim.world.pos[sphere_slot, 2])
+
+    # walk the player through the sphere: it must get pushed in +z
+    for i in range(30):
+        sim.player_move(3, (0.0, 1.0, -2.9 + i * 0.1))
+        sim.advance(2)
+    assert float(sim.world.pos[sphere_slot, 2]) > x0 + 0.1
+
+    sim.player_leave(3)
+    sim.advance(10)
+    assert not bool(sim.world.active[slot])
+
+    digest = sim.state_digest()
+    r = replay_m.replay(sim.intent_log, sim.tick, SMALL, seed=9,
+                        player_capsules=True)
+    assert r.state_digest() == digest
