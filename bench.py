@@ -32,6 +32,9 @@ def main():
     num_bodies = int(os.environ.get("BENCH_BODIES", 64))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", 8))
     launches = int(os.environ.get("BENCH_STEPS", 12))
+    chunk = int(os.environ.get("BENCH_CHUNK", 2048))
+    if num_worlds <= chunk or num_worlds % chunk:
+        chunk = 0
 
     config = EngineConfig(
         max_bodies=num_bodies,
@@ -43,7 +46,8 @@ def main():
     batch = replicate(world, num_worlds)
     batch = jax.device_put(batch)
 
-    step_fn = make_batched_step_fn(config, substeps=substeps, donate=True)
+    step_fn = make_batched_step_fn(config, substeps=substeps, donate=True,
+                                   chunk=chunk)
 
     # warmup: compile + let stacks reach contact-rich steady state
     for _ in range(3):

@@ -352,29 +352,19 @@ def _box_box(pa, qa, sa, pb, qb, sb, k):
     t_b = c.T @ t
     sep_b = jnp.abs(t_b) - (hb + absc.T @ ha)        # (3,)
 
-    # --- edge axes u = e_i × C[:, j] in A frame ---
-    def edge_axis(i, j):
-        col = c[:, j]
-        e = jnp.zeros(3, dtype).at[i].set(1.0)
-        u = jnp.cross(e, col)
-        norm = jnp.linalg.norm(u)
-        ok = norm > 1e-6
-        un = u / jnp.maximum(norm, _EPS)
-        proj_a = jnp.dot(ha, jnp.abs(un))
-        proj_b = jnp.dot(hb, jnp.abs(un @ c))
-        sep = jnp.abs(jnp.dot(t, un)) - (proj_a + proj_b)
-        return un, sep, ok
-
-    edge_units, edge_seps, edge_oks = [], [], []
-    for i in range(3):
-        for j in range(3):
-            u, s, ok = edge_axis(i, j)
-            edge_units.append(u)
-            edge_seps.append(s)
-            edge_oks.append(ok)
-    edge_units = jnp.stack(edge_units)       # (9, 3) in A frame
-    edge_seps = jnp.stack(edge_seps)         # (9,)
-    edge_oks = jnp.stack(edge_oks)           # (9,)
+    # --- edge axes u = e_i × C[:, j], all 9 as one tensor computation ---
+    eye = jnp.eye(3, dtype=dtype)
+    cols = c.T                                        # (3 j, 3) columns of C
+    # u[i, j] = e_i × C[:, j] → (3 i, 3 j, 3)
+    u_all = jnp.cross(eye[:, None, :], cols[None, :, :])
+    u_flat = u_all.reshape(9, 3)                      # (9, 3) in A frame
+    norms = jnp.linalg.norm(u_flat, axis=-1)
+    edge_oks = norms > 1e-6
+    edge_units = u_flat / jnp.maximum(norms, _EPS)[:, None]
+    abs_un = jnp.abs(edge_units)
+    proj_a = abs_un @ ha                              # (9,)
+    proj_b = jnp.abs(edge_units @ c) @ hb
+    edge_seps = jnp.abs(edge_units @ t) - (proj_a + proj_b)
 
     all_seps = jnp.concatenate([sep_a, sep_b, jnp.where(edge_oks, edge_seps, -jnp.inf)])
     separated = jnp.max(all_seps) > 0.0

@@ -43,18 +43,39 @@ def batched_step(batch: WorldState, config: EngineConfig) -> WorldState:
 
 @functools.lru_cache(maxsize=None)
 def make_batched_step_fn(config: EngineConfig, substeps: int = 1,
-                         donate: bool = True):
+                         donate: bool = True, chunk: int = 0):
     """Compiled batch step: (B, …) WorldState → (B, …) WorldState.
 
     ``substeps`` substeps run inside one device launch via ``lax.scan``
     (the 120 Hz cadence between 60 Hz snapshot reads, ``src/main.c:208-220``).
+
+    ``chunk``: process the batch in world-chunks of this size sequentially
+    (``lax.map``) inside the launch. Bounds peak HBM for very large batches:
+    XLA pads the minor (…, 3)/(…, 4) vector dims of collision intermediates
+    to full 128-lane tiles, so an 8192-world narrowphase materialized at
+    once can exceed HBM even though the logical data is small. Chunks of
+    2048 keep the padded intermediates ~10 GB while leaving plenty of
+    parallelism per chunk.
     """
     def fn(batch: WorldState) -> WorldState:
-        def body(s, _):
-            return batched_step(s, config), None
-        if substeps == 1:
-            return batched_step(batch, config)
-        batch, _ = jax.lax.scan(body, batch, None, length=substeps)
-        return batch
+        def substep_loop(b):
+            if substeps == 1:
+                return batched_step(b, config)
+            b, _ = jax.lax.scan(
+                lambda s, _: (batched_step(s, config), None),
+                b, None, length=substeps)
+            return b
+
+        if not chunk:
+            return substep_loop(batch)
+        b_total = batch.pos.shape[0]
+        if b_total % chunk:
+            raise ValueError(f"batch {b_total} not divisible by chunk {chunk}")
+        folded = jax.tree_util.tree_map(
+            lambda x: x.reshape((b_total // chunk, chunk) + x.shape[1:]),
+            batch)
+        out = jax.lax.map(substep_loop, folded)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((b_total,) + x.shape[2:]), out)
 
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
