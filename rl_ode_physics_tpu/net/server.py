@@ -57,13 +57,25 @@ class SimCore:
 
     def __init__(self, config: Optional[EngineConfig] = None,
                  world: Optional[WorldState] = None, seed: int = 0,
-                 player_capsules: bool = False):
+                 player_capsules: bool = False, diagnostics: bool = False):
         self.config = config or EngineConfig()
         self.world = (world if world is not None
                       else scenes.grass_plane_world(self.config, seed))
         self._step1 = make_step_fn(self.config, substeps=1, donate=False)
         self.tick = 0
         self.intent_log: List[Intent] = []
+        # per-tick observability counters (SURVEY.md §5 metrics plan)
+        self.metrics = None
+        self._diag_step = None
+        if diagnostics:
+            import jax as _jax
+            from rl_ode_physics_tpu.core.world import step_with_diagnostics
+            from rl_ode_physics_tpu.utils.profiling import MetricsLog
+
+            self.metrics = MetricsLog()
+            cfg = self.config
+            self._diag_step = _jax.jit(
+                lambda s: step_with_diagnostics(s, cfg))
         # player embodiment (fixes the reference's floating-camera TODO,
         # src/main.c:244: "make players special bodies instead of cameras")
         self.player_capsules = player_capsules
@@ -186,6 +198,12 @@ class SimCore:
 
     def advance(self, substeps: int = 1):
         """Advance ``substeps`` × 120 Hz fixed steps."""
+        if self._diag_step is not None:
+            for _ in range(substeps):
+                self.world, m = self._diag_step(self.world)
+                self.tick += 1
+                self.metrics.append(self.tick, m)
+            return
         for _ in range(substeps):
             self.world = self._step1(self.world)
             self.tick += 1

@@ -242,3 +242,24 @@ def test_player_capsule_embodiment_and_replay(tmp_path):
     r = replay_m.replay(sim.intent_log, sim.tick, SMALL, seed=9,
                         player_capsules=True)
     assert r.state_digest() == digest
+
+
+def test_simcore_diagnostics_metrics():
+    """SURVEY.md §5: structured per-tick counters on the server."""
+    sim = SimCore(SMALL, seed=2, diagnostics=True)
+    t16 = np.eye(4).flatten(order="F")
+    t16[13] = 0.8
+    sim.spawn_body(1, t16, (0.3, 0, 0), (1, 1, 1, 255))
+    sim.advance(30)
+    row = sim.metrics.last()
+    assert row["tick"] == 30
+    assert row["num_contacts"] >= 1
+    assert row["contact_overflow"] == 0
+    summary = sim.metrics.summary()
+    assert summary["kinetic_energy"]["max"] >= 0.0
+
+    # diagnostics mode is trajectory-identical to the plain step
+    sim2 = SimCore(SMALL, seed=2, diagnostics=False)
+    sim2.spawn_body(1, t16, (0.3, 0, 0), (1, 1, 1, 255))
+    sim2.advance(30)
+    assert sim.state_digest() == sim2.state_digest()
