@@ -217,3 +217,21 @@ def test_infinite_friction_no_slide_on_slope():
     for _ in range(20):
         w = stepf(w)
     assert abs(float(w.pos[1, 0]) - x0) < 0.05, "box slid on infinite-friction slope"
+
+
+def test_capsule_stack_world_settles():
+    """BASELINE config 2: kinematic player capsule + box/sphere rain."""
+    cfg = EngineConfig(max_bodies=24, max_pair_candidates=128,
+                       max_contacts=256)
+    w = scenes.capsule_stack_world(cfg, num_bodies=16, seed=7)
+    stepf = make_step_fn(cfg, substeps=12, donate=False)
+    for _ in range(120):            # bodies fall from y∈[20,50]
+        w = stepf(w)
+    import numpy as np
+    dyn = np.asarray(w.dynamic & ~w.is_kinematic)
+    ys = np.asarray(w.pos[:, 1])[dyn]
+    assert ys.max() < 20.0, "bodies should have fallen"
+    assert ys.min() > -2.0, "bodies must not tunnel through the floor"
+    # the kinematic capsule stayed put
+    cap = int(np.flatnonzero(np.asarray(w.is_kinematic))[0])
+    assert abs(float(w.pos[cap, 1]) - 2.0) < 1e-5

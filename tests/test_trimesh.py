@@ -125,3 +125,31 @@ def test_sphere_settles_on_teapot():
     assert y < top + 1.0
     assert y > -0.5
     assert abs(float(w.linvel[1, 1])) < 0.5
+
+
+GRASSPLANE = "/root/reference/res/grassPlane.obj"
+
+
+@pytest.mark.skipif(not os.path.exists(GRASSPLANE),
+                    reason="grassPlane fixture absent")
+def test_grassplane_mesh_loads_and_supports_sphere():
+    """BASELINE names grassPlane.obj the conformance scene mesh."""
+    verts, tris = load_obj(GRASSPLANE)
+    assert tris.shape[0] > 0
+    mesh = tm.build_trimesh(verts, tris, slot=0)
+    # drop a sphere above the mesh's center; it must land on the surface
+    cx = float(verts[:, 0].mean())
+    cz = float(verts[:, 2].mean())
+    top = float(verts[:, 1].max())
+    b = WorldBuilder(CFG, 0)
+    slot = b.add_body_map((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
+    b.body_type[slot] = int(BodyType.TRIMESH)
+    b.add_body(BodyType.SPHERE, (cx, top + 2.0, cz), (0.3, 0.0, 0.0))
+    w = b.finish()
+    stepf = make_step_fn(CFG, substeps=12, donate=False, trimesh=mesh)
+    for _ in range(40):
+        w = stepf(w)
+    y = float(w.pos[1, 1])
+    assert y < top + 2.0          # fell
+    assert y > float(verts[:, 1].min()) - 0.5   # did not tunnel through
+    assert abs(float(w.linvel[1, 1])) < 0.5
