@@ -41,6 +41,10 @@ def main():
         max_pair_candidates=4 * num_bodies,
         max_contacts=8 * num_bodies,
         max_contacts_per_pair=4,
+        # the workload is spheres+boxes (the reference's body types,
+        # inc/body.h:14-18): prune unused pair kernels from the program
+        enable_capsules=False,
+        enable_planes=False,
     )
     world = scenes.bench_world(config, num_bodies=num_bodies - 4)
     batch = replicate(world, num_worlds)

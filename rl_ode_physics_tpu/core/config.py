@@ -60,6 +60,14 @@ class EngineConfig:
     cfm: float = 1e-5                # ODE dSINGLE default
     max_correcting_vel: float = 1e30  # ODE dWorldSetContactMaxCorrectingVel default (inf)
 
+    # --- geometry capabilities (static: prune unused pair kernels) -------
+    # The branch-free narrowphase evaluates every enabled pair kernel for
+    # every candidate pair; disabling types a scene never uses shrinks the
+    # compiled program (the reference scene is spheres+boxes only,
+    # inc/body.h:14-18).
+    enable_capsules: bool = True
+    enable_planes: bool = True
+
     # --- contact surface (reference NearCallback, src/main.c:684-687) ----
     bounce: float = 0.2
     bounce_vel: float = 0.1

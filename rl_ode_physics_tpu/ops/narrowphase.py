@@ -520,8 +520,22 @@ def _flip(manifold):
     return points, -normals, depths, valid
 
 
+def _enabled_kernels(config: EngineConfig):
+    """Pair-kernel table pruned by the config's static geometry
+    capabilities — disabled types drop out of the compiled program."""
+    out = {}
+    for (t1, t2), kernel in _PAIR_KERNELS.items():
+        if not config.enable_capsules and int(BodyType.CAPSULE) in (t1, t2):
+            continue
+        if not config.enable_planes and int(BodyType.PLANE) in (t1, t2):
+            continue
+        out[(t1, t2)] = kernel
+    return out
+
+
 def collide_pair(pos_a, quat_a, type_a, size_a,
-                 pos_b, quat_b, type_b, size_b, k: int):
+                 pos_b, quat_b, type_b, size_b, k: int,
+                 kernels=None):
     """Contact manifold for one body pair (branch-free type dispatch).
 
     Canonicalizes so the lower type code is A (normals flipped back when
@@ -542,7 +556,9 @@ def collide_pair(pos_a, quat_a, type_a, size_a,
     depths = jnp.zeros((k,), pos_a.dtype)
     valid = jnp.zeros((k,), bool)
 
-    for (t1, t2), kernel in _PAIR_KERNELS.items():
+    if kernels is None:
+        kernels = _PAIR_KERNELS
+    for (t1, t2), kernel in kernels.items():
         sel = (ta == t1) & (tb == t2)
         p, n, d, v = kernel(pa, qa, sa, pb, qb, sb, k)
         points = jnp.where(sel, p, points)
@@ -579,12 +595,12 @@ def narrowphase(state: WorldState, cand: PairCandidates,
     fa = feats[ia]
     fb = feats[ib]
 
+    kernels = _enabled_kernels(config)
     points, normals, depths, valid = jax.vmap(
-        collide_pair, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
+        lambda *args: collide_pair(*args, k, kernels)
     )(
         fa[:, 0:3], fa[:, 3:7], fa[:, 10].astype(jnp.int32), fa[:, 7:10],
         fb[:, 0:3], fb[:, 3:7], fb[:, 10].astype(jnp.int32), fb[:, 7:10],
-        k,
     )
     valid = valid & cand.valid[:, None]
 
