@@ -109,5 +109,14 @@ class GameClient:
         t16 = self._identity_t16(self.pos)
         self.spawn_body(1, t16, (0.15, 0.0, 0.0), self.rng.color())
 
+    def throw_sphere(self, speed: float = 10.0):
+        """Spawn a sphere launched along the view direction — the
+        X_NEW_BODY_VEL extension that completes the reference's
+        'bodies with initial forces' TODO (src/main.c:531-532)."""
+        t16 = self._identity_t16(self.pos)
+        self.peer.send(0, protocol.encode_new_body_vel(
+            1, t16, (0.15, 0.0, 0.0), self.rng.color(),
+            linvel=np.asarray(self.dir, np.float32) * speed))
+
     def close(self):
         self.host.close()

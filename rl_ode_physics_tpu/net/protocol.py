@@ -37,6 +37,10 @@ class MsgType(enum.IntEnum):
     S_PLAYER_UPDATE = 2
     C_UPDATE_BODIES = 3
     S_NEW_BODY = 4
+    # framework extension (not in inc/msgs.h): spawn with initial velocity —
+    # completes the reference's TODO "allow clients to create bodies with
+    # initial forces" (src/main.c:531-532)
+    X_NEW_BODY_VEL = 5
 
 
 # --- struct layouts (numpy structured dtypes, explicit offsets) -----------
@@ -183,6 +187,42 @@ def encode_new_body(body_type: int, transform16, size, color) -> bytes:
     rec["body"]["size"] = np.asarray(size, np.float32)
     rec["body"]["col"] = np.asarray(color, np.uint8)
     return rec.tobytes()
+
+
+def msg_new_body_vel_dtype():
+    """Extension: MsgNewBody + linear & angular velocity (wire-stable)."""
+    return np.dtype({
+        "names": ["msg", "body", "linvel", "angvel"],
+        "formats": ["<u4", BODY_STATE_DTYPE, ("<f4", (3,)), ("<f4", (3,))],
+        "offsets": [0, 8, 160, 172],
+        "itemsize": 184,
+    })
+
+
+def encode_new_body_vel(body_type: int, transform16, size, color,
+                        linvel=(0.0, 0.0, 0.0), angvel=(0.0, 0.0, 0.0)) -> bytes:
+    rec = np.zeros((), msg_new_body_vel_dtype())
+    rec["msg"] = MsgType.X_NEW_BODY_VEL
+    rec["body"]["type"] = body_type
+    rec["body"]["transform"] = np.asarray(transform16, np.float64)
+    rec["body"]["size"] = np.asarray(size, np.float32)
+    rec["body"]["col"] = np.asarray(color, np.uint8)
+    rec["linvel"] = np.asarray(linvel, np.float32)
+    rec["angvel"] = np.asarray(angvel, np.float32)
+    return rec.tobytes()
+
+
+def decode_new_body_vel(data: bytes):
+    rec = np.frombuffer(data, msg_new_body_vel_dtype(), count=1)[0]
+    b = rec["body"]
+    return dict(
+        type=int(b["type"]),
+        transform=np.array(b["transform"]),
+        size=np.array(b["size"]),
+        color=np.array(b["col"]),
+        linvel=np.array(rec["linvel"]),
+        angvel=np.array(rec["angvel"]),
+    )
 
 
 def decode_new_body(data: bytes):

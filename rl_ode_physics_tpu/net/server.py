@@ -95,6 +95,7 @@ class SimCore:
 
     def spawn_body(self, body_type: int, transform16: np.ndarray,
                    size: np.ndarray, color: np.ndarray,
+                   linvel=(0.0, 0.0, 0.0), angvel=(0.0, 0.0, 0.0),
                    record: bool = True) -> int:
         """Apply a MsgNewBody spawn (reference handler ``src/main.c:178-182``
         → ``AddBody(…, CMASK_OBJ, CMASK_OBJ|CMASK_MAP, …)``).
@@ -102,12 +103,16 @@ class SimCore:
         The transform is interpreted exactly like ``AddBody`` does: position
         from elements 12..14, rotation rows from elements 0..11
         (``GetTransMatPos/GetTransMatRot``, ``src/main.c:653-663``).
+        ``linvel``/``angvel`` serve the X_NEW_BODY_VEL extension (the
+        reference's src/main.c:531 TODO).
         """
         payload = dict(
             type=int(body_type),
             transform=np.asarray(transform16, np.float64).tolist(),
             size=np.asarray(size, np.float32).tolist(),
             color=np.asarray(color, np.uint8).tolist(),
+            linvel=np.asarray(linvel, np.float32).tolist(),
+            angvel=np.asarray(angvel, np.float32).tolist(),
         )
         if record:
             self.intent_log.append(Intent(self.tick, "spawn", payload))
@@ -126,6 +131,8 @@ class SimCore:
             category=int(CollMask.OBJ),
             collide=int(CollMask.OBJ) | int(CollMask.MAP),
             color=payload["color"],
+            linvel=payload.get("linvel", (0.0, 0.0, 0.0)),
+            angvel=payload.get("angvel", (0.0, 0.0, 0.0)),
         )
         return int(slot)
 
@@ -291,6 +298,14 @@ class GameServer:
                 else:
                     self.log.append(f"spawned body type {body['type']} "
                                     f"slot {slot}")
+            elif mtype is protocol.MsgType.X_NEW_BODY_VEL:
+                body = protocol.decode_new_body_vel(ev.data)
+                slot = self.sim.spawn_body(
+                    body["type"], body["transform"], body["size"],
+                    body["color"], linvel=body["linvel"],
+                    angvel=body["angvel"])
+                if slot < 0:
+                    self.log.append("spawn dropped: world full")
         elif ev.type is EventType.DISCONNECT:
             pid = self.peer_to_player.pop(ev.peer.addr, None)
             if pid is not None:

@@ -263,3 +263,61 @@ def test_simcore_diagnostics_metrics():
     sim2.spawn_body(1, t16, (0.3, 0, 0), (1, 1, 1, 255))
     sim2.advance(30)
     assert sim.state_digest() == sim2.state_digest()
+
+
+def test_spawn_with_velocity_extension():
+    """X_NEW_BODY_VEL extension: wire round-trip + thrown sphere flies in
+    the view direction; replay covers velocity spawns."""
+    data = protocol.encode_new_body_vel(
+        1, np.eye(4).flatten(order="F"), (0.15, 0, 0), (1, 2, 3, 255),
+        linvel=(3.0, 1.0, 0.0), angvel=(0.0, 0.5, 0.0))
+    assert protocol.peek_type(data) is protocol.MsgType.X_NEW_BODY_VEL
+    out = protocol.decode_new_body_vel(data)
+    assert np.allclose(out["linvel"], [3.0, 1.0, 0.0])
+    assert np.allclose(out["angvel"], [0.0, 0.5, 0.0])
+
+    sim = SimCore(SMALL, seed=1)
+    t16 = np.eye(4).flatten(order="F")
+    t16[12:15] = [0.0, 2.0, 0.0]
+    slot = sim.spawn_body(1, t16, (0.15, 0, 0), (1, 1, 1, 255),
+                          linvel=(5.0, 2.0, 0.0))
+    sim.advance(12)          # 0.1 s
+    x = float(sim.world.pos[slot, 0])
+    assert 0.3 < x < 0.6     # ballistic: ~5 m/s * 0.1 s
+
+    digest = sim.state_digest()
+    r = replay_m.replay(sim.intent_log, sim.tick, SMALL, seed=1)
+    assert r.state_digest() == digest
+
+
+def test_late_join_receives_full_state():
+    """SURVEY.md §5 failure recovery: the 60 Hz full-state broadcast IS the
+    late-join/recovery mechanism — a client connecting mid-game mirrors the
+    whole world from its first snapshot."""
+    server = GameServer(SMALL, port=0, max_players=4)
+    # pre-populate the world before any client exists
+    t16 = np.eye(4).flatten(order="F")
+    for i in range(3):
+        t16[12:15] = [i * 1.0, 2.0, 0.0]
+        server.sim.spawn_body(1, t16, (0.2, 0, 0), (9, 9, 9, 255))
+    server.sim.advance(60)
+
+    late = GameClient(("127.0.0.1", server.host.port), max_bodies=16,
+                      max_players=4)
+    try:
+        for _ in range(100):
+            server.pump(0.005)
+            late.pump(0.005)
+            if late.connected:
+                break
+        assert late.connected
+        for _ in range(20):
+            server.tick(1.0 / 60.0)
+            server.pump(0.002)
+            late.pump(0.01)
+        types = late.bodies["type"]
+        assert (types == 1).sum() == 3          # the pre-join spheres
+        assert (types == 2).sum() == 4          # arena
+    finally:
+        late.close()
+        server.close()
