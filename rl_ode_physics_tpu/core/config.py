@@ -67,6 +67,10 @@ class EngineConfig:
     # inc/body.h:14-18).
     enable_capsules: bool = True
     enable_planes: bool = True
+    # exact ODE-style Sutherland-Hodgman box-box face clipping (conformance
+    # path; slower on TPU — the default is the branch-free 8-candidate
+    # manifold, see ops/narrowphase.py)
+    exact_box_clip: bool = False
 
     # --- contact surface (reference NearCallback, src/main.c:684-687) ----
     bounce: float = 0.2

@@ -292,6 +292,61 @@ def _capsule_box(pa, qa, sa, pb, qb, sb, k):
 # Box-box: SAT + reference-face clipping (ODE dBoxBox structure)
 # ---------------------------------------------------------------------------
 
+def _clip_quad_to_rect(quad, hx, hy):
+    """Exact Sutherland-Hodgman clip of a 2D quad against |x|≤hx, |y|≤hy
+    (ODE dBoxBox's face clipping). Static shapes: vertex capacity 8 with a
+    masked count. Dynamic per-vertex indexing makes this slow on TPU — it
+    is the opt-in *conformance* manifold (``EngineConfig.exact_box_clip``);
+    the throughput default is ``_face_candidates`` below.
+
+    Returns (verts (8, 2), valid (8,)).
+    """
+    cap = 8
+    verts = jnp.zeros((cap, 2), quad.dtype).at[:4].set(quad)
+    count = jnp.asarray(4, jnp.int32)
+
+    # planes: (a, b) with inside iff a*x + b*y <= limit
+    planes = jnp.stack([
+        jnp.array([1.0, 0.0], quad.dtype), jnp.array([-1.0, 0.0], quad.dtype),
+        jnp.array([0.0, 1.0], quad.dtype), jnp.array([0.0, -1.0], quad.dtype),
+    ])
+    limits = jnp.stack([hx, hx, hy, hy])
+
+    def clip_one(carry, plane_i):
+        verts, count = carry
+        ab = planes[plane_i]
+        lim = limits[plane_i]
+
+        def body(i, acc):
+            out_v, out_n = acc
+            cur = verts[i]
+            nxt_i = jnp.where(i + 1 >= count, 0, i + 1)
+            nxt = verts[nxt_i]
+            in_cur = jnp.dot(ab, cur) <= lim
+            in_nxt = jnp.dot(ab, nxt) <= lim
+            live = i < count
+
+            emit1 = live & in_cur                   # keep inside vertex
+            out_v = out_v.at[jnp.where(emit1, out_n, cap)].set(cur, mode="drop")
+            out_n = out_n + emit1.astype(jnp.int32)
+
+            denom = jnp.dot(ab, nxt - cur)          # crossing → intersection
+            t = (lim - jnp.dot(ab, cur)) / jnp.where(
+                jnp.abs(denom) > _EPS, denom, 1.0)
+            inter = cur + jnp.clip(t, 0.0, 1.0) * (nxt - cur)
+            emit2 = live & (in_cur != in_nxt) & (jnp.abs(denom) > _EPS)
+            out_v = out_v.at[jnp.where(emit2, out_n, cap)].set(inter, mode="drop")
+            out_n = out_n + emit2.astype(jnp.int32)
+            return out_v, out_n
+
+        out0 = (jnp.zeros((cap + 1, 2), verts.dtype), jnp.asarray(0, jnp.int32))
+        out_v, out_n = jax.lax.fori_loop(0, cap, body, out0)
+        return (out_v[:cap], jnp.minimum(out_n, cap)), None
+
+    (verts, count), _ = jax.lax.scan(clip_one, (verts, count), jnp.arange(4))
+    return verts, jnp.arange(cap) < count
+
+
 def _face_candidates(quad2d, hx, hy):
     """Branch-free face-face manifold candidates in reference-face coords.
 
@@ -331,7 +386,7 @@ def _face_candidates(quad2d, hx, hy):
     return points, valid
 
 
-def _box_box(pa, qa, sa, pb, qb, sb, k):
+def _box_box(pa, qa, sa, pb, qb, sb, k, exact_clip: bool = False):
     """SAT over 15 axes, ODE axis-selection order and 1.05 face-preference
     fudge, then reference-face clipping (face case) or edge-edge closest
     point (edge case). Mirrors the structure of ODE's dBoxBox."""
@@ -462,7 +517,10 @@ def _box_box(pa, qa, sa, pb, qb, sb, k):
     rel = quad_world - face_center
     quad2d = jnp.stack([rel @ u0, rel @ u1], axis=-1)   # (4, 2)
 
-    verts2d, cand_valid = _face_candidates(quad2d, hu0, hu1)
+    if exact_clip:
+        verts2d, cand_valid = _clip_quad_to_rect(quad2d, hu0, hu1)
+    else:
+        verts2d, cand_valid = _face_candidates(quad2d, hu0, hu1)
 
     # lift back to 3D on the *incident* face plane to compute depth
     # depth of a candidate = distance of the corresponding incident-face
@@ -507,7 +565,9 @@ _PAIR_KERNELS = {
     (int(BodyType.SPHERE), int(BodyType.BOX)): _sphere_box,
     (int(BodyType.SPHERE), int(BodyType.CAPSULE)): _sphere_capsule,
     (int(BodyType.SPHERE), int(BodyType.PLANE)): _sphere_plane,
-    (int(BodyType.BOX), int(BodyType.BOX)): _box_box,
+    (int(BodyType.BOX), int(BodyType.BOX)): _box_box,   # exact_clip variant
+                                                        # selected in
+                                                        # _enabled_kernels
     (int(BodyType.BOX), int(BodyType.CAPSULE)): lambda pa, qa, sa, pb, qb, sb, k: _flip(_capsule_box(pb, qb, sb, pa, qa, sa, k)),
     (int(BodyType.BOX), int(BodyType.PLANE)): _box_plane,
     (int(BodyType.CAPSULE), int(BodyType.CAPSULE)): _capsule_capsule,
@@ -523,12 +583,16 @@ def _flip(manifold):
 def _enabled_kernels(config: EngineConfig):
     """Pair-kernel table pruned by the config's static geometry
     capabilities — disabled types drop out of the compiled program."""
+    import functools as _ft
+
     out = {}
     for (t1, t2), kernel in _PAIR_KERNELS.items():
         if not config.enable_capsules and int(BodyType.CAPSULE) in (t1, t2):
             continue
         if not config.enable_planes and int(BodyType.PLANE) in (t1, t2):
             continue
+        if kernel is _box_box and config.exact_box_clip:
+            kernel = _ft.partial(_box_box, exact_clip=True)
         out[(t1, t2)] = kernel
     return out
 

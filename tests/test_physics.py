@@ -235,3 +235,25 @@ def test_capsule_stack_world_settles():
     # the kinematic capsule stayed put
     cap = int(np.flatnonzero(np.asarray(w.is_kinematic))[0])
     assert abs(float(w.pos[cap, 1]) - 2.0) < 1e-5
+
+
+def test_exact_box_clip_conformance_path():
+    """Opt-in ODE-style Sutherland-Hodgman manifold: stacks settle the same
+    as the default 8-candidate scheme."""
+    for exact in (False, True):
+        cfg = CFG.replace(exact_box_clip=exact, solver=SolverKind.PGS,
+                          max_contacts=32, max_pair_candidates=16)
+        w = scenes.grass_plane_world(cfg)
+        w, _ = add_body(w, BodyType.BOX, (0.0, 1.2, 0.0), (1.0, 1.0, 1.0))
+        # rotate 30 deg about y: exact clip produces the true octagonal
+        # overlap footprint
+        from rl_ode_physics_tpu.utils import quat as q
+        rot = q.from_axis_angle(jnp.array([0.0, 1.0, 0.0]),
+                                jnp.asarray(np.pi / 6))
+        w, _ = add_body(w, BodyType.BOX, (0.0, 2.21, 0.0), (1.0, 1.0, 1.0),
+                        quat=rot)
+        stepf = make_step_fn(cfg, substeps=12, donate=False)
+        for _ in range(30):
+            w = stepf(w)
+        assert abs(float(w.pos[4, 1]) - 1.0) < 0.05, f"exact={exact}"
+        assert abs(float(w.pos[5, 1]) - 2.0) < 0.08, f"exact={exact}"
