@@ -33,8 +33,12 @@ from rl_ode_physics_tpu.core.state import (
 from rl_ode_physics_tpu.core.world import (
     add_body,
     add_body_map,
+    add_force,
+    add_torque,
     release_body,
+    set_body_pose,
     step,
+    step_with_diagnostics,
     make_step_fn,
 )
 
@@ -49,8 +53,12 @@ __all__ = [
     "create_world",
     "add_body",
     "add_body_map",
+    "add_force",
+    "add_torque",
     "release_body",
+    "set_body_pose",
     "step",
+    "step_with_diagnostics",
     "make_step_fn",
     "__version__",
 ]
