@@ -71,6 +71,10 @@ class EngineConfig:
     # path; slower on TPU — the default is the branch-free 8-candidate
     # manifold, see ops/narrowphase.py)
     exact_box_clip: bool = False
+    # dense all-pairs pipeline (ops/dense.py): no compaction/selectors/
+    # gathers — O(N²K) memory, the fast path for ≲128-body worlds; the
+    # sparse compacted pipeline is the default and required for trimesh
+    dense_pipeline: bool = False
 
     # --- contact surface (reference NearCallback, src/main.c:684-687) ----
     bounce: float = 0.2

@@ -224,6 +224,14 @@ def step(state: WorldState, config: EngineConfig, trimesh=None,
     ``trimesh``: optional static ``ops.trimesh.TriMesh`` (e.g. the teapot);
     its contacts merge into the same solver buffer.
     """
+    if config.dense_pipeline and trimesh is None:
+        from rl_ode_physics_tpu.ops import dense
+        manifold = dense.dense_narrowphase(state, config)
+        state = integrator.apply_external_forces(state, config)
+        state = dense.dense_solve(state, manifold, config)
+        state = integrator.integrate_positions(state, config)
+        return state
+
     cand = bp.broadphase(state, config)
     extra = None
     if trimesh is not None:
