@@ -50,8 +50,9 @@ def main():
     batch = replicate(world, num_worlds)
     batch = jax.device_put(batch)
 
+    unroll = int(os.environ.get("BENCH_UNROLL", 2))
     step_fn = make_batched_step_fn(config, substeps=substeps, donate=True,
-                                   chunk=chunk)
+                                   chunk=chunk, unroll=unroll)
 
     # warmup: compile + let stacks reach contact-rich steady state
     for _ in range(3):
