@@ -237,10 +237,29 @@ def _sphere_capsule(pa, qa, sa, pb, qb, sb, k):
 
 
 def _capsule_capsule(pa, qa, sa, pb, qb, sb, k):
-    a0, a1, _ = _segment_endpoints(pa, qa, sa[1])
-    b0, b1, _ = _segment_endpoints(pb, qb, sb[1])
+    """Closest-point contact, plus a second contact when the capsules are
+    near-parallel (lying side by side needs two support points to be
+    torsionally stable — ODE's dCollideCapsuleCapsule does the same)."""
+    a0, a1, ax_a = _segment_endpoints(pa, qa, sa[1])
+    b0, b1, ax_b = _segment_endpoints(pb, qb, sb[1])
     ca, cb = _segment_segment(a0, a1, b0, b1)
-    return _sphere_sphere(ca, qa, sa, cb, qb, sb, k)
+    p0, n0, d0, v0 = _sphere_sphere(ca, qa, sa, cb, qb, sb, 1)
+
+    # parallel case: probe from the other end of capsule A's overlap range
+    parallel = jnp.abs(jnp.dot(ax_a, ax_b)) > 0.999
+    # endpoint of A farther from the first closest point, clamped onto B
+    far_a = jnp.where(jnp.sum((ca - a0) ** 2) > jnp.sum((ca - a1) ** 2),
+                      a0, a1)
+    cb2 = _closest_on_segment(b0, b1, far_a)
+    ca2 = _closest_on_segment(a0, a1, cb2)
+    p1, n1, d1, v1 = _sphere_sphere(ca2, qa, sa, cb2, qb, sb, 1)
+    # distinct-point check keeps the non-parallel case single-contact
+    distinct = jnp.sum((ca2 - ca) ** 2) > 1e-8
+    v1 = v1 & parallel & distinct
+
+    return _pad_manifold(
+        jnp.concatenate([p0, p1]), jnp.concatenate([n0, n1]),
+        jnp.concatenate([d0, d1]), jnp.concatenate([v0, v1]), k)
 
 
 def _capsule_plane(pa, qa, sa, pb, qb, sb, k):

@@ -257,3 +257,40 @@ def test_exact_box_clip_conformance_path():
             w = stepf(w)
         assert abs(float(w.pos[4, 1]) - 1.0) < 0.05, f"exact={exact}"
         assert abs(float(w.pos[5, 1]) - 2.0) < 0.08, f"exact={exact}"
+
+
+def test_capsule_capsule_contacts():
+    """Parallel lying capsules get a 2-point manifold (torsional support);
+    crossed capsules get one contact."""
+    from rl_ode_physics_tpu.ops.narrowphase import _capsule_capsule
+    from rl_ode_physics_tpu.utils import quat as q
+
+    size = jnp.array([0.3, 2.0, 0.0])
+    qz = q.identity()                       # capsules along world z
+    # parallel, overlapping side by side, 0.5 apart (< 2r = 0.6)
+    p, n, d, v = _capsule_capsule(
+        jnp.array([0.0, 0.0, 0.0]), qz, size,
+        jnp.array([0.5, 0.0, 0.3]), qz, size, 4)
+    assert int(v.sum()) == 2
+    assert np.allclose(np.asarray(d)[np.asarray(v)], 0.1, atol=1e-5)
+
+    # crossed at right angles: one contact
+    qx = q.from_axis_angle(jnp.array([0.0, 1.0, 0.0]), jnp.asarray(np.pi / 2))
+    p, n, d, v = _capsule_capsule(
+        jnp.array([0.0, 0.0, 0.0]), qz, size,
+        jnp.array([0.0, 0.5, 0.0]), qx, size, 4)
+    assert int(v.sum()) == 1
+
+    # capsule stacked on capsule settles at 2r above
+    cfg = CFG
+    w = scenes.grass_plane_world(cfg)
+    from rl_ode_physics_tpu.utils.quat import from_axis_angle
+    lying = from_axis_angle(jnp.array([0.0, 1.0, 0.0]), jnp.asarray(np.pi / 2))
+    w, _ = add_body(w, BodyType.CAPSULE, (0.0, 0.8, 0.0), (0.3, 1.0, 0.0),
+                    quat=lying, kinematic=True)
+    w, _ = add_body(w, BodyType.CAPSULE, (0.0, 1.6, 0.0), (0.3, 1.0, 0.0),
+                    quat=lying)
+    stepf = make_step_fn(cfg, substeps=12, donate=False)
+    for _ in range(40):
+        w = stepf(w)
+    assert abs(float(w.pos[5, 1]) - 1.4) < 0.03   # 0.8 + 2r
