@@ -39,8 +39,10 @@ def main():
     config = EngineConfig(
         max_bodies=num_bodies,
         max_pair_candidates=4 * num_bodies,
-        max_contacts=8 * num_bodies,
-        max_contacts_per_pair=4,
+        max_contacts=4 * num_bodies,
+        # K=8 matches the reference's dCollide(…, 8, …) contract AND skips
+        # the per-pair top-k manifold selection (measured 1.4x faster)
+        max_contacts_per_pair=8,
         # the workload is spheres+boxes (the reference's body types,
         # inc/body.h:14-18): prune unused pair kernels from the program
         enable_capsules=False,
