@@ -13,6 +13,30 @@ import jax
 import jax.numpy as jnp
 
 
+def compact_rows(mask: jnp.ndarray, payload: jnp.ndarray, k: int):
+    """Compact the rows of ``payload`` (M, D) where ``mask`` is True into the
+    first ≤k output rows, preserving order.
+
+    Implemented as ONE multi-operand ``lax.sort`` that carries the payload
+    columns through the sort network — ~2× faster on TPU than
+    top_k + row gather (the gather was the hottest op of the whole substep;
+    see docs/BENCHMARKS.md).
+
+    Returns (rows (k, D), valid (k,), count (), overflow ()).
+    """
+    m, d = payload.shape
+    pos = jnp.arange(m, dtype=jnp.int32)
+    keys = jnp.where(mask, pos, m + pos)      # hits first, stable order
+    ops = (keys,) + tuple(payload[:, i] for i in range(d))
+    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
+    kk = sorted_ops[0][:k]
+    valid = kk < m
+    rows = jnp.stack([sorted_ops[1 + i][:k] for i in range(d)], axis=-1)
+    rows = jnp.where(valid[:, None], rows, 0.0)
+    total = jnp.sum(mask.astype(jnp.int32))
+    return rows, valid, jnp.minimum(total, k), jnp.maximum(total - k, 0)
+
+
 def compact_mask(mask: jnp.ndarray, k: int):
     """Indices of the first ≤k True entries of ``mask`` (ascending).
 

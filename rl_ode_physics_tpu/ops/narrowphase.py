@@ -710,10 +710,9 @@ def narrowphase(state: WorldState, cand: PairCandidates,
         packed = jnp.concatenate([packed, e_packed], axis=0)
         flat_valid = jnp.concatenate([flat_valid, e_val])
 
-    from rl_ode_physics_tpu.ops.compaction import compact_mask
+    from rl_ode_physics_tpu.ops.compaction import compact_rows
 
-    idx, cvalid, count, overflow = compact_mask(flat_valid, ccap)
-    rows = jnp.where(cvalid[:, None], packed[idx], 0.0)
+    rows, cvalid, count, overflow = compact_rows(flat_valid, packed, ccap)
     return Contacts(
         point=rows[:, 0:3],
         normal=rows[:, 3:6],
