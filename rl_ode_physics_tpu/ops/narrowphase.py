@@ -436,9 +436,12 @@ def _box_box(pa, qa, sa, pb, qb, sb, k, exact_clip: bool = False):
     edge_oks = norms > 1e-6
     edge_units = u_flat / jnp.maximum(norms, _EPS)[:, None]
     abs_un = jnp.abs(edge_units)
-    proj_a = abs_un @ ha                              # (9,)
-    proj_b = jnp.abs(edge_units @ c) @ hb
-    edge_seps = jnp.abs(edge_units @ t) - (proj_a + proj_b)
+    # broadcast-sums, not (9,3)@(3,·) micro-matmuls: batched tiny
+    # dot_generals are a measured hot spot on TPU
+    proj_a = jnp.sum(abs_un * ha[None, :], axis=1)    # (9,)
+    un_in_b = jnp.sum(edge_units[:, :, None] * c[None, :, :], axis=1)
+    proj_b = jnp.sum(jnp.abs(un_in_b) * hb[None, :], axis=1)
+    edge_seps = jnp.abs(jnp.sum(edge_units * t[None, :], axis=1)) - (proj_a + proj_b)
 
     all_seps = jnp.concatenate([sep_a, sep_b, jnp.where(edge_oks, edge_seps, -jnp.inf)])
     separated = jnp.max(all_seps) > 0.0

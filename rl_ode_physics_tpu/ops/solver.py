@@ -56,23 +56,63 @@ def _tangent_basis(n):
     return t1, t2
 
 
-def _row_data(state: WorldState, contacts: Contacts, config: EngineConfig):
-    """Precompute per-row geometry, effective masses, and rhs targets."""
+def _gather_body_features(state: WorldState, s_mat, kappa):
+    """Per-contact body features for both sides via ONE selector matmul.
+
+    Per-contact gathers (``inv_i[a]`` etc.) are measured hot spots on TPU;
+    the one-hot selector already exists for the solve loop, so pos, I⁻¹,
+    m⁻¹ and κ ride a single (2C, N)·(N, 14) dot instead of five gathers.
+    """
+    n = state.num_slots
+    c = s_mat.shape[0] // 2
+    inv_i = world_inv_inertia(state)                    # (N, 3, 3)
+    feats = jnp.concatenate([
+        state.pos,
+        inv_i.reshape(n, 9),
+        state.inv_mass[:, None],
+        kappa[:, None],
+    ], axis=-1)                                         # (N, 14)
+    fh = jnp.matmul(s_mat, feats)                       # (2C, 14)
+    return dict(
+        pos_a=fh[:c, 0:3], pos_b=fh[c:, 0:3],
+        inv_i_a=fh[:c, 3:12].reshape(c, 3, 3),
+        inv_i_b=fh[c:, 3:12].reshape(c, 3, 3),
+        inv_m_a=fh[:c, 12], inv_m_b=fh[c:, 12],
+        kappa_a=fh[:c, 13], kappa_b=fh[c:, 13],
+        inv_i=inv_i,
+        s_mat=s_mat,
+    )
+
+
+def _row_data(state: WorldState, contacts: Contacts, config: EngineConfig,
+              gathered=None):
+    """Precompute per-row geometry, effective masses, and rhs targets.
+
+    ``gathered``: optional output of ``_gather_body_features`` (matmul-based
+    per-contact body data); without it, direct XLA gathers are used (the
+    PGS path, where per-row indexing happens anyway).
+    """
     dt = config.dt
     a, b = contacts.a, contacts.b
     n = contacts.normal
     p = contacts.point
 
     inv_m = state.inv_mass
-    inv_i = world_inv_inertia(state)          # (N, 3, 3)
+    if gathered is None:
+        inv_i = world_inv_inertia(state)      # (N, 3, 3)
+        pos_a, pos_b = state.pos[a], state.pos[b]
+        inv_i_a, inv_i_b = inv_i[a], inv_i[b]
+        inv_m_a, inv_m_b = inv_m[a], inv_m[b]
+    else:
+        inv_i = gathered["inv_i"]
+        pos_a, pos_b = gathered["pos_a"], gathered["pos_b"]
+        inv_i_a, inv_i_b = gathered["inv_i_a"], gathered["inv_i_b"]
+        inv_m_a, inv_m_b = gathered["inv_m_a"], gathered["inv_m_b"]
 
-    r_a = p - state.pos[a]
-    r_b = p - state.pos[b]
+    r_a = p - pos_a
+    r_b = p - pos_b
 
     t1, t2 = _tangent_basis(n)
-
-    inv_i_a = inv_i[a]
-    inv_i_b = inv_i[b]
 
     def eff_mass(axis):
         rxn_a = jnp.cross(r_a, axis)
@@ -81,7 +121,7 @@ def _row_data(state: WorldState, contacts: Contacts, config: EngineConfig):
         ang_a = jnp.sum(inv_i_a * rxn_a[..., None, :], axis=-1)
         ang_b = jnp.sum(inv_i_b * rxn_b[..., None, :], axis=-1)
         return (
-            inv_m[a] + inv_m[b]
+            inv_m_a + inv_m_b
             + jnp.sum(rxn_a * ang_a, axis=-1)
             + jnp.sum(rxn_b * ang_b, axis=-1)
         )
@@ -92,12 +132,16 @@ def _row_data(state: WorldState, contacts: Contacts, config: EngineConfig):
     d_t2 = eff_mass(t2) + cfm_term
 
     # rhs: ERP bias capped by max_correcting_vel, bounce from pre-solve v_n
-    def rel_vel(linvel, angvel):
-        va = linvel[a] + jnp.cross(angvel[a], r_a)
-        vb = linvel[b] + jnp.cross(angvel[b], r_b)
-        return vb - va
-
-    v0 = rel_vel(state.linvel, state.angvel)
+    if gathered is None:
+        va0 = state.linvel[a] + jnp.cross(state.angvel[a], r_a)
+        vb0 = state.linvel[b] + jnp.cross(state.angvel[b], r_b)
+    else:
+        c = a.shape[0]
+        vh = jnp.matmul(gathered["s_mat"],
+                        jnp.concatenate([state.linvel, state.angvel], -1))
+        va0 = vh[:c, 0:3] + jnp.cross(vh[:c, 3:6], r_a)
+        vb0 = vh[c:, 0:3] + jnp.cross(vh[c:, 3:6], r_b)
+    v0 = vb0 - va0
     v_n0 = jnp.sum(v0 * n, axis=-1)
 
     bias = jnp.minimum(config.erp * contacts.depth / dt,
@@ -251,20 +295,19 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
     f = state.linvel.dtype
 
     s_mat, kappa = _half_row_selector(state, contacts)
+    gathered = _gather_body_features(state, s_mat, kappa)
 
     # split masses: each contact sees its bodies' inverse mass scaled by the
     # per-pair max count (conservative, guarantees no overshoot on gather-sum)
-    split = jnp.maximum(kappa[a], kappa[b])
+    split = jnp.maximum(gathered["kappa_a"], gathered["kappa_b"])
 
-    rows = _row_data(state, contacts, config)
+    rows = _row_data(state, contacts, config, gathered)
     # effective mass with split inverse masses: d scales linearly in M^-1
     cfm_term = config.cfm / config.dt
     d_n = (rows["d_n"] - cfm_term) * split + cfm_term
     d_t1 = (rows["d_t1"] - cfm_term) * split + cfm_term
     d_t2 = (rows["d_t2"] - cfm_term) * split + cfm_term
 
-    inv_m = state.inv_mass
-    inv_i = rows["inv_i"]
     r_a, r_b = rows["r_a"], rows["r_b"]
     n_ax, t1_ax, t2_ax = rows["n"], rows["t1"], rows["t2"]
     omega = jnp.asarray(config.jacobi_omega, f)
@@ -283,10 +326,10 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
     def matmul3(m, v):          # (...,3,3) @ (...,3) on the VPU
         return jnp.sum(m * v[..., None, :], axis=-1)
 
-    ang_op_a = -jnp.matmul(inv_i[a], cross_mat(r_a))     # (C, 3, 3)
-    ang_op_b = jnp.matmul(inv_i[b], cross_mat(r_b))
-    lin_sc_a = -inv_m[a][:, None]                        # (C, 1)
-    lin_sc_b = inv_m[b][:, None]
+    ang_op_a = -jnp.matmul(gathered["inv_i_a"], cross_mat(r_a))   # (C, 3, 3)
+    ang_op_b = jnp.matmul(gathered["inv_i_b"], cross_mat(r_b))
+    lin_sc_a = -gathered["inv_m_a"][:, None]             # (C, 1)
+    lin_sc_b = gathered["inv_m_b"][:, None]
 
     # stack half-row operators: (2C, 1) and (2C, 3, 3)
     lin_sc = jnp.concatenate([lin_sc_a, lin_sc_b], axis=0)

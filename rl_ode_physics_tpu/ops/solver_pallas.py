@@ -59,9 +59,10 @@ def _pack_inputs(state: WorldState, contacts: Contacts,
     c = a.shape[0]
 
     s_mat, kappa = sol._half_row_selector(state, contacts)
-    split = jnp.maximum(kappa[a], kappa[b])
+    gathered = sol._gather_body_features(state, s_mat, kappa)
+    split = jnp.maximum(gathered["kappa_a"], gathered["kappa_b"])
 
-    rows = sol._row_data(state, contacts, config)
+    rows = sol._row_data(state, contacts, config, gathered)
     cfm_term = config.cfm / config.dt
     d_n = (rows["d_n"] - cfm_term) * split + cfm_term
     d_t1 = (rows["d_t1"] - cfm_term) * split + cfm_term
@@ -80,8 +81,6 @@ def _pack_inputs(state: WorldState, contacts: Contacts,
         contacts.valid.astype(f)[:, None],
     ], axis=-1)                                        # (C, 32)
 
-    inv_i = rows["inv_i"]
-    inv_m = state.inv_mass
 
     def cross_mat(r):
         zero = jnp.zeros_like(r[..., 0])
@@ -91,10 +90,11 @@ def _pack_inputs(state: WorldState, contacts: Contacts,
             jnp.stack([-r[..., 1], r[..., 0], zero], -1),
         ], -2)
 
-    ang_op_a = -jnp.matmul(inv_i[a], cross_mat(r_a))   # (C, 3, 3)
-    ang_op_b = jnp.matmul(inv_i[b], cross_mat(r_b))
+    ang_op_a = -jnp.matmul(gathered["inv_i_a"], cross_mat(r_a))   # (C, 3, 3)
+    ang_op_b = jnp.matmul(gathered["inv_i_b"], cross_mat(r_b))
     ang_op = jnp.concatenate([ang_op_a, ang_op_b], 0).reshape(2 * c, 9)
-    lin_sc = jnp.concatenate([-inv_m[a], inv_m[b]])[:, None]
+    lin_sc = jnp.concatenate(
+        [-gathered["inv_m_a"], gathered["inv_m_b"]])[:, None]
     halfop = jnp.concatenate(
         [ang_op, lin_sc, jnp.zeros((2 * c, 6), f)], axis=-1)   # (2C, 16)
 
