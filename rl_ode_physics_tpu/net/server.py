@@ -248,9 +248,14 @@ class GameServer:
 
     def __init__(self, config: Optional[EngineConfig] = None,
                  port: int = PORT, max_players: int = protocol.MAX_PLAYERS,
-                 seed: int = 0, player_capsules: bool = False):
+                 seed: int = 0, player_capsules: bool = False,
+                 prefer_native: bool = True):
         self.sim = SimCore(config, seed=seed, player_capsules=player_capsules)
-        self.host = Host(port=port, max_peers=max_players)
+        # prefer the C++ transport when built (same wire format; see
+        # native/transport.cpp) — the Python Host is the fallback
+        from rl_ode_physics_tpu.net.native_transport import make_host
+        self.host = make_host(port=port, max_peers=max_players,
+                              prefer_native=prefer_native)
         self.max_players = max_players
         self.players = protocol.empty_players(max_players)
         self.peer_to_player: Dict[Tuple[str, int], int] = {}
