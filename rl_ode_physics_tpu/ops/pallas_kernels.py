@@ -64,6 +64,75 @@ def _d2_kernel(c_ref, v0_ref, e1_ref, e2_ref, d2_ref):
     d2_ref[:, :] = dx * dx + dy * dy + dz * dz
 
 
+PROBE_TILE = 8
+
+
+def _d2_tiles_kernel(probes_ref, v0_ref, e1_ref, e2_ref, out_ref):
+    """One grid step: 8 probes × the WHOLE mesh (resident in VMEM),
+    reduced to per-128-triangle-tile minimum squared distances.
+
+    Avoids the vmap-of-pallas_call inefficiency: all probes of a batch ride
+    one kernel; triangle data loads into VMEM once per grid step and is
+    swept in full (9k tris ≈ 110 KB/component)."""
+    probes = probes_ref[:, :]                    # (8, 3)
+    t = v0_ref.shape[1]
+    nt = t // 128
+
+    def comp(ref, i):
+        return ref[i, :][None, :]                # (1, T)
+
+    px, py, pz = probes[:, 0:1], probes[:, 1:2], probes[:, 2:3]  # (8,1)
+    v0x, v0y, v0z = comp(v0_ref, 0), comp(v0_ref, 1), comp(v0_ref, 2)
+    e1x, e1y, e1z = comp(e1_ref, 0), comp(e1_ref, 1), comp(e1_ref, 2)
+    e2x, e2y, e2z = comp(e2_ref, 0), comp(e2_ref, 1), comp(e2_ref, 2)
+
+    apx, apy, apz = px - v0x, py - v0y, pz - v0z          # (8, T)
+    d1 = e1x * apx + e1y * apy + e1z * apz
+    d2 = e2x * apx + e2y * apy + e2z * apz
+    bpx, bpy, bpz = apx - e1x, apy - e1y, apz - e1z
+    d3 = e1x * bpx + e1y * bpy + e1z * bpz
+    d4 = e2x * bpx + e2y * bpy + e2z * bpz
+    cpx, cpy, cpz = apx - e2x, apy - e2y, apz - e2z
+    d5 = e1x * cpx + e1y * cpy + e1z * cpz
+    d6 = e2x * cpx + e2y * cpy + e2z * cpz
+
+    v, w = tm._tri_vw(d1, d2, d3, d4, d5, d6)
+
+    dx = apx - v * e1x - w * e2x
+    dy = apy - v * e1y - w * e2y
+    dz = apz - v * e1z - w * e2z
+    dd = dx * dx + dy * dy + dz * dz                      # (8, T)
+    out_ref[:, :] = jnp.min(dd.reshape(PROBE_TILE, nt, 128), axis=-1)
+
+
+def sphere_mesh_d2_tiles(probes, v0t, e1t, e2t):
+    """(P, 3) probes → (P, T/128) per-tile min squared distances.
+
+    P must be a multiple of 8 (pad with far-away probes). One pallas_call
+    for the whole probe set; vmap over worlds adds a batch grid dim.
+    """
+    p = probes.shape[0]
+    t = v0t.shape[1]
+    nt = t // 128
+    assert p % PROBE_TILE == 0, "pad probes to a multiple of 8"
+    grid = (p // PROBE_TILE,)
+
+    tri_spec = pl.BlockSpec((3, t), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _d2_tiles_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((PROBE_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            tri_spec, tri_spec, tri_spec,
+        ],
+        out_specs=pl.BlockSpec((PROBE_TILE, nt), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, nt), probes.dtype),
+    )(probes, v0t, e1t, e2t)
+
+
 def sphere_mesh_d2(center, v0t, e1t, e2t):
     """(T/128, 128) squared distances; triangle data transposed (3, T)."""
     t = v0t.shape[1]

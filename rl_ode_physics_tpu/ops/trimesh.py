@@ -270,9 +270,57 @@ def body_mesh_contacts(pos, quat, body_type, size, mesh: TriMesh, k: int,
             jnp.isfinite(top_d) & (top_d > 0))
 
 
+def _world_probes(state: WorldState, box_margin: float):
+    """Probe-sphere decomposition for every slot, vectorized: (N, 12, 3)
+    positions, (N, 12) radii, (N, 12) validity (by body type)."""
+    from rl_ode_physics_tpu.utils import quat as quat_m
+
+    dtype = state.pos.dtype
+    n = state.num_slots
+    r_mat = quat_m.to_matrix(state.quat)                  # (N, 3, 3)
+    axis = r_mat[:, :, 2]                                 # capsule local Z
+    h = 0.5 * state.size[:, 1:2]
+    cap = jnp.stack([state.pos - axis * h, state.pos,
+                     state.pos + axis * h], axis=1)       # (N, 3, 3)
+
+    corners = jnp.asarray(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+         for sz in (-1.0, 1.0)], dtype)                   # (8, 3)
+    half = 0.5 * state.size                               # (N, 3)
+    box_local = corners[None, :, :] * half[:, None, :]    # (N, 8, 3)
+    box = state.pos[:, None, :] + jnp.einsum(
+        "nij,nkj->nki", r_mat, box_local)                 # (N, 8, 3)
+
+    t = state.body_type
+    is_sphere = t == BodyType.SPHERE
+    is_box = t == BodyType.BOX
+    is_capsule = t == BodyType.CAPSULE
+    r_sph = state.size[:, 0]
+
+    probes = jnp.concatenate([state.pos[:, None, :], cap, box], axis=1)
+    radii = jnp.concatenate([
+        jnp.where(is_sphere, r_sph,
+                  jnp.where(is_box, jnp.min(half, axis=-1), r_sph))[:, None],
+        jnp.broadcast_to(r_sph[:, None], (n, 3)),
+        jnp.full((n, 8), box_margin, dtype),
+    ], axis=1)                                            # (N, 12)
+    pvalid = jnp.concatenate([
+        (is_sphere | is_box)[:, None],
+        jnp.broadcast_to(is_capsule[:, None], (n, 3)),
+        jnp.broadcast_to(is_box[:, None], (n, 8)),
+    ], axis=1)                                            # (N, 12)
+    return probes, radii, pvalid
+
+
 def mesh_narrowphase(state: WorldState, mesh: TriMesh, config: EngineConfig,
-                     contacts_per_body: int = 4, use_pallas: bool = False):
+                     contacts_per_body: int = 4, use_pallas: bool = False,
+                     box_margin: float = 0.02):
     """All dynamic bodies vs the static mesh → flat manifold arrays.
+
+    Every probe sphere of every body rides ONE batched sweep (a single
+    pallas_call on TPU — no vmap-of-kernel overhead): per-probe per-tile
+    best distances → cross-tile top-k → exact points for winning tiles →
+    per-body deepest-k selection.
 
     Returns (points (N*k, 3), normals, depths, a, b, valid) ready to be
     concatenated with the primitive narrowphase output before compaction.
@@ -280,16 +328,80 @@ def mesh_narrowphase(state: WorldState, mesh: TriMesh, config: EngineConfig,
     """
     k = contacts_per_body
     n = state.num_slots
+    dtype = state.pos.dtype
+    t = mesh.num_tris
+    nt = t // MESH_TILE
 
-    pts, nrm, dep, val = jax.vmap(
-        lambda p, q, t, s: body_mesh_contacts(p, q, t, s, mesh, k, use_pallas)
-    )(state.pos, state.quat, state.body_type, state.size)
+    probes, radii, pvalid = _world_probes(state, box_margin)
+    p_total = n * 12                                      # multiple of 4; pad to 8
+    flat_p = probes.reshape(p_total, 3)
+    pad = (-p_total) % 8
+    if pad:
+        flat_p = jnp.concatenate(
+            [flat_p, jnp.full((pad, 3), 1e9, dtype)], axis=0)
+
+    if use_pallas:
+        from rl_ode_physics_tpu.ops.pallas_kernels import sphere_mesh_d2_tiles
+        tile_d2 = sphere_mesh_d2_tiles(flat_p, mesh.v0.T, mesh.e1.T,
+                                       mesh.e2.T)[:p_total]
+    else:
+        closest = jax.vmap(
+            lambda c: closest_point_triangle(c, mesh.v0, mesh.e1, mesh.e2)
+        )(flat_p[:p_total])                               # (P, T, 3)
+        d2 = jnp.sum((closest - flat_p[:p_total, None, :]) ** 2, -1)
+        tile_d2 = jnp.min(d2.reshape(p_total, nt, MESH_TILE), axis=-1)
+
+    radii_f = radii.reshape(p_total)
+    depth_t = radii_f[:, None] - jnp.sqrt(jnp.maximum(tile_d2, 0.0))
+    keys = jnp.where(depth_t > 0, depth_t, -jnp.inf)      # (P, NT)
+    top_d, top_i = jax.lax.top_k(keys, k)                 # (P, k)
+    sel = (top_i[..., None] == jnp.arange(nt)[None, None, :]
+           ).astype(dtype)                                # (P, k, NT)
+
+    # exact closest points only for the winning tiles
+    v0_k = jnp.einsum("pkt,td->pkd", sel,
+                      mesh.v0.reshape(nt, MESH_TILE * 3)
+                      ).reshape(p_total, k, MESH_TILE, 3)
+    e1_k = jnp.einsum("pkt,td->pkd", sel,
+                      mesh.e1.reshape(nt, MESH_TILE * 3)
+                      ).reshape(p_total, k, MESH_TILE, 3)
+    e2_k = jnp.einsum("pkt,td->pkd", sel,
+                      mesh.e2.reshape(nt, MESH_TILE * 3)
+                      ).reshape(p_total, k, MESH_TILE, 3)
+    centers = flat_p[:p_total, None, None, :]
+    closest_k = closest_point_triangle(centers, v0_k, e1_k, e2_k)
+    d2_k = jnp.sum((closest_k - centers) ** 2, -1)        # (P, k, 128)
+    best = jnp.argmin(d2_k, axis=-1)
+    oh = (jnp.arange(MESH_TILE)[None, None, :] == best[..., None]
+          ).astype(dtype)
+    pts = jnp.sum(closest_k * oh[..., None], axis=2)      # (P, k, 3)
+
+    n_dir = pts - flat_p[:p_total, None, :]
+    n_len = jnp.linalg.norm(n_dir, axis=-1, keepdims=True)
+    up = jnp.asarray([0.0, 1.0, 0.0], dtype)
+    nrm = jnp.where(n_len > 1e-6, n_dir / jnp.maximum(n_len, _EPS), -up)
+    dep = jnp.where(jnp.isfinite(top_d), top_d, 0.0)
+    val = jnp.isfinite(top_d) & (top_d > 0) & pvalid.reshape(p_total)[:, None]
+
+    # per-body deepest-k over its 12 probes × k candidates
+    m = 12 * k
+    pts_b = pts.reshape(n, m, 3)
+    nrm_b = nrm.reshape(n, m, 3)
+    dep_b = dep.reshape(n, m)
+    val_b = val.reshape(n, m)
+    keys_b = jnp.where(val_b, dep_b, -jnp.inf)
+    bd, bi = jax.lax.top_k(keys_b, k)                     # (N, k)
+    selb = (bi[..., None] == jnp.arange(m)[None, None, :]).astype(dtype)
+    pts_f = jnp.einsum("nkm,nmd->nkd", selb, pts_b)
+    nrm_f = jnp.einsum("nkm,nmd->nkd", selb, nrm_b)
+    dep_f = jnp.where(jnp.isfinite(bd), bd, 0.0)
+    val_f = jnp.isfinite(bd) & (bd > 0)
 
     eligible = (state.active & ~state.is_static
                 & (state.inv_mass > 0))[:, None]
-    val = val & eligible
+    val_f = val_f & eligible
 
     a = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     b = jnp.full((n * k,), mesh.slot, jnp.int32)
-    return (pts.reshape(n * k, 3), nrm.reshape(n * k, 3),
-            dep.reshape(n * k), a, b, val.reshape(n * k))
+    return (pts_f.reshape(n * k, 3), nrm_f.reshape(n * k, 3),
+            dep_f.reshape(n * k), a, b, val_f.reshape(n * k))
