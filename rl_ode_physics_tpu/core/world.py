@@ -211,8 +211,17 @@ def add_torque(state: WorldState, slot, torque) -> WorldState:
 # Step composition
 # ---------------------------------------------------------------------------
 
+def _pallas_available() -> bool:
+    """Mosaic kernels need a real TPU backend (the fast trimesh path)."""
+    import jax
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def step(state: WorldState, config: EngineConfig, trimesh=None,
-         use_pallas: bool = False) -> WorldState:
+         use_pallas=None) -> WorldState:
     """One fixed 120 Hz substep (``src/main.c:212-214`` pipeline).
 
     collide-then-step like ODE: contacts are generated from current
@@ -236,6 +245,8 @@ def step(state: WorldState, config: EngineConfig, trimesh=None,
     extra = None
     if trimesh is not None:
         from rl_ode_physics_tpu.ops.trimesh import mesh_narrowphase
+        if use_pallas is None:          # auto: Pallas sweep is 2x on TPU
+            use_pallas = _pallas_available()
         extra = mesh_narrowphase(state, trimesh, config,
                                  use_pallas=use_pallas)
     contacts = np_ops.narrowphase(state, cand, config, extra)
@@ -272,7 +283,7 @@ def step_with_diagnostics(state: WorldState, config: EngineConfig):
 
 
 def make_step_fn(config: EngineConfig, substeps: int = 1, donate: bool = True,
-                 trimesh=None, use_pallas: bool = False):
+                 trimesh=None, use_pallas=None):
     """Compile a (possibly multi-substep) step: state → state.
 
     ``substeps > 1`` rolls the fixed-dt substep loop into the compiled
