@@ -321,3 +321,52 @@ def test_late_join_receives_full_state():
     finally:
         late.close()
         server.close()
+
+
+def test_multi_client_lockstep_replay():
+    """BASELINE config 5 verbatim: multiple concurrent clients drive the
+    server; the recorded intent stream replays to a bitwise-identical
+    state."""
+    import time as _time
+
+    server = GameServer(SMALL, port=0, max_players=4, player_capsules=True)
+    clients = [GameClient(("127.0.0.1", server.host.port), max_bodies=16,
+                          max_players=4, seed=i) for i in range(3)]
+    try:
+        deadline = _time.monotonic() + 5.0
+        while (_time.monotonic() < deadline
+               and not all(c.connected for c in clients)):
+            server.pump(0.003)
+            for c in clients:
+                c.pump(0.003)
+        assert all(c.connected for c in clients)
+
+        # interleave physics, player motion, and spawns from every client
+        for round_i in range(6):
+            for ci, c in enumerate(clients):
+                c.pos = c.pos + np.asarray([0.1 * (ci + 1), 0.0, 0.05],
+                                           np.float32)
+                c.update(1.0 / 60.0 + 1.0)   # force a player-update send
+                if round_i % 2 == ci % 2:
+                    c.spawn_at_camera()
+            deadline = _time.monotonic() + 0.5
+            while _time.monotonic() < deadline:
+                server.pump(0.003)
+                for c in clients:
+                    c.pump(0.001)
+            server.sim.advance(4)
+
+        live_digest = server.sim.state_digest()
+        n_spawns = sum(1 for it in server.sim.intent_log
+                       if it.kind == "spawn")
+        assert n_spawns >= 6, "expected spawns from multiple clients"
+        kinds = {it.kind for it in server.sim.intent_log}
+        assert "player_join" in kinds and "player_move" in kinds
+
+        r = replay_m.replay(server.sim.intent_log, server.sim.tick, SMALL,
+                            seed=0, player_capsules=True)
+        assert r.state_digest() == live_digest
+    finally:
+        for c in clients:
+            c.close()
+        server.close()
