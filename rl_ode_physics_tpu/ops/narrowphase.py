@@ -61,6 +61,27 @@ def _onehot(idx, k, dtype):
     return (jnp.arange(k) == idx).astype(dtype)
 
 
+
+# --- micro-matmul helpers ---------------------------------------------------
+# 3-vector/3x3 products as broadcast-sums: batched tiny dot_generals lower
+# to convolutions on this TPU backend (measured hot); these stay on the VPU
+# and fuse with their neighbors.
+
+def _mv(m, v):
+    """m (...,3,3) @ v (...,3) -> (...,3)."""
+    return jnp.sum(m * v[..., None, :], axis=-1)
+
+
+def _mtv(m, v):
+    """m.T @ v for m (...,3,3), v (...,3)."""
+    return jnp.sum(m * v[..., :, None], axis=-2)
+
+
+def _mtm(a, b):
+    """a.T @ b for a, b (...,3,3): out[i,j] = sum_k a[k,i] b[k,j]."""
+    return jnp.sum(a[..., :, :, None] * b[..., :, None, :], axis=-3)
+
+
 @struct.dataclass
 class Contacts:
     """Static-capacity contact rows for the solver (per world)."""
@@ -109,7 +130,7 @@ def _sphere_sphere(pa, qa, sa, pb, qb, sb, k):
 
 def _sphere_box_core(center, radius, pb, rb_mat, half):
     """Sphere vs oriented box; returns (point, normal a→b, depth)."""
-    p_local = rb_mat.T @ (center - pb)
+    p_local = _mtv(rb_mat, center - pb)
     clamped = jnp.clip(p_local, -half, half)
     delta = p_local - clamped
     dist = jnp.linalg.norm(delta)
@@ -133,8 +154,8 @@ def _sphere_box_core(center, radius, pb, rb_mat, half):
     depth = jnp.where(outside, depth_out, depth_in)
     surf_local = jnp.where(outside, clamped,
                            p_local + n_local_in * fd_ax)
-    point = pb + rb_mat @ surf_local
-    n_world = rb_mat @ n_local
+    point = pb + _mv(rb_mat, surf_local)
+    n_world = _mv(rb_mat, n_local)
     return point, n_world, depth
 
 
@@ -173,8 +194,8 @@ _BOX_CORNERS = _np.array(
 def _box_plane(pa, qa, sa, pb, qb, sb, k):
     n_p, d_p = _plane_params(pb, qb)
     ra = quat_m.to_matrix(qa)
-    corners = pa + (_BOX_CORNERS * (0.5 * sa)) @ ra.T   # (8, 3)
-    depths = d_p - corners @ n_p
+    corners = pa + _mv(ra[None, :, :], _BOX_CORNERS * (0.5 * sa))   # (8, 3)
+    depths = d_p - jnp.sum(corners * n_p, -1)
     valid = depths > 0.0
     normals = jnp.broadcast_to(-n_p, (8, 3))
     if k < 8:
@@ -416,8 +437,8 @@ def _box_box(pa, qa, sa, pb, qb, sb, k, exact_clip: bool = False):
     hb = 0.5 * sb
 
     t_world = pb - pa
-    t = ra.T @ t_world                     # B center in A frame
-    c = ra.T @ rb                          # B orientation in A frame
+    t = _mtv(ra, t_world)                  # B center in A frame
+    c = _mtm(ra, rb)                       # B orientation in A frame
     absc = jnp.abs(c) + 1e-6
 
     # --- face axes of A (A-frame unit axes) ---
@@ -459,7 +480,7 @@ def _box_box(pa, qa, sa, pb, qb, sb, k, exact_clip: bool = False):
     u_a = _sel_row(edge_units, best_edge_idx)         # axis in A frame
     sign_e = jnp.where(jnp.dot(u_a, t) >= 0.0, 1.0, -1.0)
     n_a = u_a * sign_e                                # from A toward B, A frame
-    n_world_edge = ra @ n_a
+    n_world_edge = _mv(ra, n_a)
     ei = best_edge_idx // 3                           # edge direction index on A
     ej = best_edge_idx % 3                            # edge direction index on B
     oh_ei = _onehot(ei, 3, dtype)
@@ -469,15 +490,15 @@ def _box_box(pa, qa, sa, pb, qb, sb, k, exact_clip: bool = False):
 
     # supporting edge on A: corner most along +n_a, direction e_{ei}
     sgn_a = jnp.where(n_a >= 0.0, 1.0, -1.0) * (1.0 - oh_ei)
-    pa_sup = pa + ra @ (sgn_a * ha)
-    da = ra @ oh_ei                                   # column ei of ra
+    pa_sup = pa + _mv(ra, sgn_a * ha)
+    da = _mv(ra, oh_ei)                               # column ei of ra
     a0 = pa_sup - da * ha_ei
     a1 = pa_sup + da * ha_ei
 
-    n_b_frame = -(c.T @ n_a)                          # from B toward A in B frame
+    n_b_frame = -_mtv(c, n_a)                         # from B toward A in B frame
     sgn_b = jnp.where(n_b_frame >= 0.0, 1.0, -1.0) * (1.0 - oh_ej)
-    pb_sup = pb + rb @ (sgn_b * hb)
-    db = rb @ oh_ej
+    pb_sup = pb + _mv(rb, sgn_b * hb)
+    db = _mv(rb, oh_ej)
     b0 = pb_sup - db * hb_ej
     b1 = pb_sup + db * hb_ej
 
@@ -517,7 +538,7 @@ def _box_box(pa, qa, sa, pb, qb, sb, k, exact_clip: bool = False):
 
     # incident face: the incident-box axis most anti-parallel to n_ref
     axes_inc = r_inc.T
-    align = axes_inc @ n_ref                           # (3,)
+    align = _mv(axes_inc, n_ref)                       # (3,)
     inc_axis = jnp.argmax(jnp.abs(align))
     align_inc = _sel(align, inc_axis)
     inc_sign = -jnp.sign(align_inc)                    # face whose normal opposes n_ref
@@ -537,7 +558,7 @@ def _box_box(pa, qa, sa, pb, qb, sb, k, exact_clip: bool = False):
 
     # project incident quad onto the reference face plane coordinates
     rel = quad_world - face_center
-    quad2d = jnp.stack([rel @ u0, rel @ u1], axis=-1)   # (4, 2)
+    quad2d = jnp.stack([jnp.sum(rel * u0, -1), jnp.sum(rel * u1, -1)], axis=-1)   # (4, 2)
 
     if exact_clip:
         verts2d, cand_valid = _clip_quad_to_rect(quad2d, hu0, hu1)
@@ -554,7 +575,7 @@ def _box_box(pa, qa, sa, pb, qb, sb, k, exact_clip: bool = False):
     d_inc = jnp.dot(inc_n, inc_center)
 
     base = face_center + verts2d[:, 0:1] * u0 + verts2d[:, 1:2] * u1  # (8, 3)
-    z = (d_inc - base @ inc_n) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0)
+    z = (d_inc - jnp.sum(base * inc_n, -1)) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0)
     lifted = base + z[:, None] * n_ref
     depths_face = -z                                    # depth = -z (below face)
     valid_face = cand_valid & (depths_face > 0.0)
@@ -678,8 +699,14 @@ def narrowphase(state: WorldState, cand: PairCandidates,
         state.pos, state.quat, state.size,
         state.body_type.astype(f)[:, None],
     ], axis=-1)                                        # (N, 11)
-    fa = feats[ia]
-    fb = feats[ib]
+    # candidate-side feature gathers as one-hot matmuls (XLA gathers at
+    # (CP,)-indices are measured hot spots on TPU)
+    n_slots = state.num_slots
+    cols = jnp.arange(n_slots, dtype=jnp.int32)
+    oh_a = (ia[:, None] == cols[None, :]).astype(f)    # (CP, N)
+    oh_b = (ib[:, None] == cols[None, :]).astype(f)
+    fa = jnp.matmul(oh_a, feats)
+    fb = jnp.matmul(oh_b, feats)
 
     kernels = _enabled_kernels(config)
     points, normals, depths, valid = jax.vmap(

@@ -326,8 +326,11 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
     def matmul3(m, v):          # (...,3,3) @ (...,3) on the VPU
         return jnp.sum(m * v[..., None, :], axis=-1)
 
-    ang_op_a = -jnp.matmul(gathered["inv_i_a"], cross_mat(r_a))   # (C, 3, 3)
-    ang_op_b = jnp.matmul(gathered["inv_i_b"], cross_mat(r_b))
+    def mm3(a, b):   # (C,3,3)@(C,3,3) as broadcast-sum (VPU, not conv)
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+    ang_op_a = -mm3(gathered["inv_i_a"], cross_mat(r_a))   # (C, 3, 3)
+    ang_op_b = mm3(gathered["inv_i_b"], cross_mat(r_b))
     lin_sc_a = -gathered["inv_m_a"][:, None]             # (C, 1)
     lin_sc_b = gathered["inv_m_b"][:, None]
 

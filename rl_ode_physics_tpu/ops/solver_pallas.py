@@ -90,8 +90,11 @@ def _pack_inputs(state: WorldState, contacts: Contacts,
             jnp.stack([-r[..., 1], r[..., 0], zero], -1),
         ], -2)
 
-    ang_op_a = -jnp.matmul(gathered["inv_i_a"], cross_mat(r_a))   # (C, 3, 3)
-    ang_op_b = jnp.matmul(gathered["inv_i_b"], cross_mat(r_b))
+    def mm3(a, b):
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+    ang_op_a = -mm3(gathered["inv_i_a"], cross_mat(r_a))   # (C, 3, 3)
+    ang_op_b = mm3(gathered["inv_i_b"], cross_mat(r_b))
     ang_op = jnp.concatenate([ang_op_a, ang_op_b], 0).reshape(2 * c, 9)
     lin_sc = jnp.concatenate(
         [-gathered["inv_m_a"], gathered["inv_m_b"]])[:, None]
