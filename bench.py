@@ -40,9 +40,9 @@ def main():
         max_bodies=num_bodies,
         max_pair_candidates=4 * num_bodies,
         max_contacts=4 * num_bodies,
-        # K=8 matches the reference's dCollide(…, 8, …) contract AND skips
-        # the per-pair top-k manifold selection (measured 1.4x faster)
-        max_contacts_per_pair=8,
+        # K=4 with deterministic fold-merge manifolds (no per-pair top-k)
+        # halves the contact-compaction sort width; stacking verified stable
+        max_contacts_per_pair=4,
         # the workload is spheres+boxes (the reference's body types,
         # inc/body.h:14-18): prune unused pair kernels from the program
         enable_capsules=False,

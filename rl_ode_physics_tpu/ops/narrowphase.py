@@ -198,9 +198,41 @@ def _box_plane(pa, qa, sa, pb, qb, sb, k):
     depths = d_p - jnp.sum(corners * n_p, -1)
     valid = depths > 0.0
     normals = jnp.broadcast_to(-n_p, (8, 3))
+    if k == 4:
+        return _fold_manifold(corners, normals, depths, valid,
+                              [7, 6, 5, 4])     # antipodal corners
     if k < 8:
         return _topk_manifold(corners, normals, depths, valid, k)
     return _pad_manifold(corners, normals, depths, valid, k)
+
+
+def _fold_manifold(points, normals, depths, valid, pairing):
+    """8-slot manifold → 4 slots by pairwise keep-the-better merge.
+
+    ``pairing`` statically maps slot i (< 4) to its partner; for each pair
+    the valid-and-deeper candidate survives. O(1) elementwise — no top_k
+    sort network per pair instance. Pairings are chosen so the physically
+    complete cases keep full support:
+
+    * box-plane: antipodal corners (i, 7−i) — exactly one of each antipodal
+      pair lies on the resting face, so all 4 face corners survive;
+    * box-box face: clamped incident corner i with reference-rect corner i —
+      the dominant stacking case has only the clamped corners valid.
+    """
+    i_lo = _np.arange(4)
+    i_hi = _np.asarray(pairing)
+    p_lo, p_hi = points[i_lo], points[i_hi]
+    n_lo, n_hi = normals[i_lo], normals[i_hi]
+    d_lo, d_hi = depths[i_lo], depths[i_hi]
+    v_lo, v_hi = valid[i_lo], valid[i_hi]
+    # prefer valid; among equal validity prefer deeper
+    take_hi = (v_hi & ~v_lo) | (v_hi & v_lo & (d_hi > d_lo))
+    return (
+        jnp.where(take_hi[:, None], p_hi, p_lo),
+        jnp.where(take_hi[:, None], n_hi, n_lo),
+        jnp.where(take_hi, d_hi, d_lo),
+        jnp.where(take_hi, v_hi, v_lo),
+    )
 
 
 def _topk_manifold(points, normals, depths, valid, k):
@@ -593,6 +625,9 @@ def _box_box(pa, qa, sa, pb, qb, sb, k, exact_clip: bool = False):
                       valid_face)
     valid = valid & ~separated
 
+    if k == 4:
+        return _fold_manifold(points, normals, depths, valid,
+                              [4, 5, 6, 7])     # clamped-corner i ↔ rect i
     if k < 8:
         return _topk_manifold(points, normals, depths, valid, k)
     return _pad_manifold(points, normals, depths, valid, k)
