@@ -347,11 +347,10 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
     s_mm_t = s_mm.T
 
     def one_iter(_, carry):
-        linvel, angvel, lam_n, lam_t1, lam_t2 = carry
+        vel6, lam_n, lam_t1, lam_t2 = carry               # vel6 (N, 6)
 
         # one MXU gather for both bodies of every contact
-        vel6 = jnp.concatenate([linvel, angvel], -1).astype(mm_dtype)
-        vh = jnp.matmul(s_mm, vel6,
+        vh = jnp.matmul(s_mm, vel6.astype(mm_dtype),
                         preferred_element_type=f)          # (2C, 6)
         lin_a, ang_a = vh[:c, :3], vh[:c, 3:]
         lin_b, ang_b = vh[c:, :3], vh[c:, 3:]
@@ -390,16 +389,15 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
         # one MXU scatter-add back into the bodies
         dv = jnp.matmul(s_mm_t, contrib.astype(mm_dtype),
                         preferred_element_type=f)        # (N, 6)
-        linvel = linvel + dv[:, :3]
-        angvel = angvel + dv[:, 3:]
-        return linvel, angvel, lam_n, lam_t1, lam_t2
+        return vel6 + dv, lam_n, lam_t1, lam_t2
 
     lam0 = jnp.zeros((c,), f)
-    carry = (state.linvel, state.angvel, lam0, lam0, lam0)
-    linvel, angvel, *_ = jax.lax.fori_loop(
+    vel0 = jnp.concatenate([state.linvel, state.angvel], -1)
+    carry = (vel0, lam0, lam0, lam0)
+    vel6, *_ = jax.lax.fori_loop(
         0, config.solver_iterations, one_iter, carry
     )
-    return state.replace(linvel=linvel, angvel=angvel)
+    return state.replace(linvel=vel6[:, :3], angvel=vel6[:, 3:])
 
 
 def solve(state: WorldState, contacts: Contacts,
