@@ -88,6 +88,12 @@ class EngineConfig:
     # per-iteration cost). "bfloat16" halves bytes and doubles MXU rate; the
     # selector itself is exact (0/1) — only gathered velocities are rounded.
     solver_matmul_dtype: str = "float32"
+    # XLA matmul precision for the whole step. TPU "default" runs f32
+    # matmuls as bf16 MXU passes — the one-hot selection matmuls therefore
+    # round gathered positions/velocities to bf16 (~3 decimal digits; all
+    # conformance tests pass). "float32" (3-pass bf16x3) restores exact f32
+    # at ~40% step cost — use for conformance-grade runs.
+    matmul_precision: str = "default"
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

@@ -233,6 +233,15 @@ def step(state: WorldState, config: EngineConfig, trimesh=None,
     ``trimesh``: optional static ``ops.trimesh.TriMesh`` (e.g. the teapot);
     its contacts merge into the same solver buffer.
     """
+    import contextlib
+    prec = (jax.default_matmul_precision(config.matmul_precision)
+            if config.matmul_precision != "default" else contextlib.nullcontext())
+    with prec:
+        return _step_impl(state, config, trimesh, use_pallas)
+
+
+def _step_impl(state: WorldState, config: EngineConfig, trimesh,
+               use_pallas) -> WorldState:
     if config.dense_pipeline and trimesh is None:
         from rl_ode_physics_tpu.ops import dense
         manifold = dense.dense_narrowphase(state, config)

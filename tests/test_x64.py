@@ -41,3 +41,19 @@ def test_f64_mode_settles_exactly():
     assert result["dtype"] == "float64"
     assert abs(result["y"] - 0.65) < 1e-4
     assert abs(result["vy"]) < 1e-3
+
+
+def test_float32_precision_mode():
+    """matmul_precision='float32': exact f32 through the selection matmuls
+    (TPU default rounds them through bf16); behavior identical on CPU."""
+    from rl_ode_physics_tpu.core.config import EngineConfig
+    from rl_ode_physics_tpu.core.world import make_step_fn
+    from rl_ode_physics_tpu.models import scenes
+
+    cfg = EngineConfig(max_bodies=8, max_pair_candidates=32, max_contacts=64,
+                       matmul_precision="float32")
+    w = scenes.sphere_drop_world(cfg, height=2.0)
+    stepf = make_step_fn(cfg, substeps=12, donate=False)
+    for _ in range(30):
+        w = stepf(w)
+    assert abs(float(w.pos[4, 1]) - 0.65) < 5e-3
