@@ -18,6 +18,17 @@ _DEFAULT_DIR = os.path.join(
 def enable_persistent_cache(path: str | None = None) -> None:
     import jax
 
+    try:
+        platforms = jax.config.jax_platforms or ""
+    except Exception:
+        platforms = ""
+    if platforms.strip() == "cpu":
+        # CPU-only runs: XLA:CPU AOT cache entries embed host machine
+        # features that vary across processes on this VM — loading a
+        # mismatched entry risks SIGILL. The cache only pays off for the
+        # slow tunneled-TPU compiles anyway.
+        return
+
     cache_dir = path or os.environ.get("JAX_CACHE_DIR", _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
     try:
