@@ -46,21 +46,24 @@ def main(num_worlds: int = 512):
         _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[0])
 
     times = {}
-    for iters in (5, 10, 20, 40):
+    for iters in (5, 10, 20, 40, 80):
         cfg = base.replace(solver_iterations=iters)
         f = jax.jit(jax.vmap(lambda s, c: sol.solve(s, c, cfg)))
         r = f(b2, cont)
         sync(r)
-        t0 = time.perf_counter()
-        for _ in range(10):
-            r = f(b2, cont)
-        sync(r)
-        times[iters] = (time.perf_counter() - t0) / 10
+        samples = []
+        for _ in range(5):          # median-of-5 batches beats tunnel noise
+            t0 = time.perf_counter()
+            for _ in range(10):
+                r = f(b2, cont)
+            sync(r)
+            samples.append((time.perf_counter() - t0) / 10)
+        times[iters] = float(np.median(samples))
 
     # slope via least squares over iteration counts
     ks = np.array(sorted(times))
     ts = np.array([times[k] for k in ks])
-    slope = float(np.polyfit(ks, ts, 1)[0])          # seconds per iteration
+    slope = max(float(np.polyfit(ks, ts, 1)[0]), 0.0)  # seconds per iteration
     us_per_iter_world = slope / num_worlds * 1e6
 
     print(json.dumps({
