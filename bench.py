@@ -78,7 +78,8 @@ def main():
 
     print(json.dumps({
         "metric": f"body-steps/sec ({num_worlds} worlds x {num_bodies} bodies, "
-                  f"{total_steps} substeps in {dt:.3f}s)",
+                  f"{total_steps} substeps in {dt:.3f}s, 20 solver iters, "
+                  f"xla matmul precision={config.matmul_precision})",
         "value": value,
         "unit": "body-steps/sec",
         "vs_baseline": value / 50e6,
