@@ -73,12 +73,34 @@ def main():
     dt = time.perf_counter() - t0
 
     total_steps = launches * substeps
-    body_steps = num_worlds * num_bodies * total_steps
+    # honesty: count only DYNAMIC bodies (the 4 static arena geoms are not
+    # integrated/solved as bodies — 60 of the 64 slots are dynamic)
+    num_dynamic = int(np.asarray(
+        (world.inv_mass > 0).sum() if hasattr(world, "inv_mass") else num_bodies
+    ))
+    body_steps = num_worlds * num_dynamic * total_steps
     value = body_steps / dt
 
+    # FLOP accounting for cross-round/roofline comparability (stderr; the
+    # driver parses the single stdout JSON line). Dominant cost: the solver's
+    # two (2C, N)x(N, 8) selector matmuls per iteration per world.
+    import sys
+    c_rows = config.max_contacts
+    n = config.max_bodies
+    it = config.solver_iterations
+    solver_flops = 2 * (2 * c_rows) * n * 8 * 2 * it      # per world per substep
+    total_solver_tflops = solver_flops * num_worlds * total_steps / dt / 1e12
+    print(f"# aux: {num_dynamic} dynamic bodies/world; solver selector-matmul "
+          f"throughput ~{total_solver_tflops:.2f} TFLOP/s sustained "
+          f"({solver_flops/1e6:.2f} MFLOP/world/substep at C={c_rows}, N={n}, "
+          f"{it} iters); slot-steps/sec (all {num_bodies} slots) = "
+          f"{num_worlds * num_bodies * total_steps / dt:.3g}", file=sys.stderr)
+
     print(json.dumps({
-        "metric": f"body-steps/sec ({num_worlds} worlds x {num_bodies} bodies, "
+        "metric": f"body-steps/sec ({num_worlds} worlds x {num_dynamic} dynamic "
+                  f"bodies (of {num_bodies} slots), "
                   f"{total_steps} substeps in {dt:.3f}s, 20 solver iters, "
+                  f"solver={config.solver.value}, "
                   f"xla matmul precision={config.matmul_precision})",
         "value": value,
         "unit": "body-steps/sec",

@@ -36,6 +36,16 @@ constexpr uint32_t kMagic = 0x52545055;  // 'RTPU'
 constexpr size_t kMaxPayload = 1200;
 constexpr double kRtoSeconds = 0.05;
 constexpr int kMaxRetries = 300;
+// Drop a peer with unacked traffic that has been silent this long (ENet's
+// default ballpark). Must stay lenient: a single-threaded endpoint stalled
+// in a jit compile stops pumping and its peers go "silent" through no fault
+// of their own. The retransmit WINDOW below, not this timeout, bounds the
+// dead-peer flood (60 Hz reliable snapshots to a vanished client otherwise
+// retransmit an ever-growing pending backlog every RTO).
+constexpr double kPeerTimeout = 30.0;
+// Only the oldest N pending messages per peer retransmit per pass
+// (ENet-style windowing; bounds retransmit flood bandwidth).
+constexpr int kRetransmitWindow = 64;
 constexpr int kNumChannels = 2;
 
 enum Flags : uint8_t {
@@ -86,6 +96,7 @@ struct Peer {
   Address addr;
   int id = -1;
   bool connected = false;
+  double last_heard = 0.0;
   uint32_t next_out_seq[kNumChannels] = {0, 0};
   uint32_t next_in_seq[kNumChannels] = {0, 0};
   // (channel, seq) → unacked reliable message
@@ -204,6 +215,7 @@ class Host {
     Peer p;
     p.addr = addr;
     p.id = next_peer_id_++;
+    p.last_heard = MonotonicSeconds();
     auto res = peers_.emplace(addr, std::move(p));
     return res.first->second;
   }
@@ -250,7 +262,13 @@ class Host {
     std::vector<Address> dead;
     for (auto& kv : peers_) {
       Peer& p = kv.second;
+      if (!p.pending.empty() && now - p.last_heard > kPeerTimeout) {
+        dead.push_back(p.addr);  // silent peer with unacked data
+        continue;
+      }
+      int window = 0;
       for (auto& pk : p.pending) {
+        if (++window > kRetransmitWindow) break;  // oldest (ch,seq) first
         Pending& pend = pk.second;
         if (now - pend.sent_at > kRtoSeconds) {
           if (++pend.retries > kMaxRetries) {
@@ -288,7 +306,13 @@ class Host {
   void Handle(const Address& addr, const Header& h, const uint8_t* payload,
               size_t len) {
     if (h.flags & kConnect) {
+      // ENet parity: no peer slot left → ignore the connect (the client
+      // retries until its own timeout); known peers always re-ack
+      if (peers_.find(addr) == peers_.end() &&
+          static_cast<int>(peers_.size()) >= max_peers_)
+        return;
       Peer& p = GetOrCreatePeer(addr);
+      p.last_heard = MonotonicSeconds();
       SendHeaderOnly(addr, kConnectAck);
       if (!p.connected) {
         p.connected = true;
@@ -298,10 +322,13 @@ class Host {
     }
     if (h.flags & kConnectAck) {
       auto it = peers_.find(addr);
-      if (it != peers_.end() && !it->second.connected) {
-        it->second.connected = true;
-        connecting_.erase(addr);
-        events_.push_back({1, it->second.id, 0, {}});
+      if (it != peers_.end()) {
+        it->second.last_heard = MonotonicSeconds();
+        if (!it->second.connected) {
+          it->second.connected = true;
+          connecting_.erase(addr);
+          events_.push_back({1, it->second.id, 0, {}});
+        }
       }
       return;
     }
@@ -313,6 +340,7 @@ class Host {
     auto it = peers_.find(addr);
     if (it == peers_.end()) return;
     Peer& p = it->second;
+    p.last_heard = MonotonicSeconds();
     int ch = h.channel;
     if (ch < 0 || ch >= kNumChannels) return;
 
@@ -375,6 +403,12 @@ class Host {
   std::map<Address, Peer> peers_;
   std::map<Address, double> connecting_;
   std::deque<Event> events_;
+
+ public:
+  // Last event delivered by rt_host_service — per host, so servicing two
+  // Hosts on one thread cannot clobber each other's payload before
+  // rt_event_data copies it out.
+  Event last_event;
 };
 
 }  // namespace
@@ -416,17 +450,17 @@ void rt_peer_disconnect(void* h, int peer_id) {
 }
 
 // Service: returns event type (0 none / 1 connect / 2 receive / 3
-// disconnect); fills peer/channel/data_len. Payload is kept until the next
-// rt_host_service call; copy it out with rt_event_data.
-static thread_local Event g_last_event;
+// disconnect); fills peer/channel/data_len. Payload is kept per host until
+// its next rt_host_service call; copy it out with rt_event_data.
 
 int rt_host_service(void* h, int timeout_ms, int* peer_id, int* channel,
                     int* data_len) {
-  int type = static_cast<Host*>(h)->Service(timeout_ms, &g_last_event);
+  Host* host = static_cast<Host*>(h);
+  int type = host->Service(timeout_ms, &host->last_event);
   if (type != 0) {
-    *peer_id = g_last_event.peer_id;
-    *channel = g_last_event.channel;
-    *data_len = static_cast<int>(g_last_event.data.size());
+    *peer_id = host->last_event.peer_id;
+    *channel = host->last_event.channel;
+    *data_len = static_cast<int>(host->last_event.data.size());
   } else {
     *peer_id = -1;
     *channel = 0;
@@ -436,9 +470,9 @@ int rt_host_service(void* h, int timeout_ms, int* peer_id, int* channel,
 }
 
 int rt_event_data(void* h, uint8_t* out, int max_len) {
-  (void)h;
-  int n = std::min<int>(max_len, static_cast<int>(g_last_event.data.size()));
-  if (n > 0) memcpy(out, g_last_event.data.data(), n);
+  const Event& ev = static_cast<Host*>(h)->last_event;
+  int n = std::min<int>(max_len, static_cast<int>(ev.data.size()));
+  if (n > 0) memcpy(out, ev.data.data(), n);
   return n;
 }
 

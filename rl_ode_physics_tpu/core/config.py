@@ -30,10 +30,20 @@ class SolverKind(enum.Enum):
       contact row updates in parallel from the previous iterate. The
       TPU-native throughput solver — one fused vector pass per iteration
       across the whole world batch.
+    * ``FUSED`` — the Pallas substep megakernel (``ops/megakernel.py``):
+      same Jacobi math, but broadphase + narrowphase + solve + integrate run
+      as ONE VMEM-resident kernel launch per substep (no compaction sorts,
+      no per-phase dispatch overhead). Falls back to JACOBI when a trimesh
+      is attached (the mesh sweep has its own kernel) or off-TPU.
+    * ``DANTZIG`` — direct LCP (Lemke/Dantzig principal pivoting like ODE's
+      ``dWorldStep``, the call the reference actually makes at
+      ``src/main.c:213``). f64 conformance path, not a throughput solver.
     """
 
     PGS = "pgs"
     JACOBI = "jacobi"
+    FUSED = "fused"
+    DANTZIG = "dantzig"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,7 +55,6 @@ class EngineConfig:
     max_pair_candidates: int = 2048  # broadphase survivor capacity (pairs)
     max_contacts_per_pair: int = 8   # src/main.c:675 (dCollide MAX_CONTACTS)
     max_contacts: int = 2048         # solver row capacity per world
-    max_contacts_per_body: int = 32  # Jacobi incidence-table degree bound
 
     # --- time stepping ---------------------------------------------------
     dt: float = 1.0 / 120.0         # src/main.c:208 (120 Hz fixed substep)

@@ -241,14 +241,29 @@ def step(state: WorldState, config: EngineConfig, trimesh=None,
 
 
 def _step_impl(state: WorldState, config: EngineConfig, trimesh,
-               use_pallas) -> WorldState:
+               use_pallas, with_metrics: bool = False):
     if config.dense_pipeline and trimesh is None:
         from rl_ode_physics_tpu.ops import dense
         manifold = dense.dense_narrowphase(state, config)
         state = integrator.apply_external_forces(state, config)
         state = dense.dense_solve(state, manifold, config)
         state = integrator.integrate_positions(state, config)
-        return state
+        if not with_metrics:
+            return state
+        _, _, depths, valid = manifold
+        zero = jnp.zeros((), jnp.int32)
+        return state, _base_metrics(
+            state,
+            num_pairs=jnp.sum(jnp.any(valid, axis=-1).astype(jnp.int32)),
+            num_contacts=jnp.sum(valid.astype(jnp.int32)),
+            pair_overflow=zero,        # dense pipeline has no capacity drops
+            contact_overflow=zero,
+            max_penetration=jnp.max(jnp.where(valid, depths, 0.0)),
+        )
+
+    if config.solver is SolverKind.FUSED and trimesh is None:
+        from rl_ode_physics_tpu.ops import megakernel
+        return megakernel.fused_step(state, config, with_metrics=with_metrics)
 
     cand = bp.broadphase(state, config)
     extra = None
@@ -262,33 +277,46 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
     state = integrator.apply_external_forces(state, config)
     state = solver_ops.solve(state, contacts, config)
     state = integrator.integrate_positions(state, config)
-    return state
-
-
-def step_with_diagnostics(state: WorldState, config: EngineConfig):
-    """step() that also returns per-tick observability counters
-    (SURVEY.md §5 metrics plan: contacts, penetration, overflow, energy)."""
-    cand = bp.broadphase(state, config)
-    contacts = np_ops.narrowphase(state, cand, config)
-    state = integrator.apply_external_forces(state, config)
-    state = solver_ops.solve(state, contacts, config)
-    state = integrator.integrate_positions(state, config)
-
-    dyn = state.dynamic
-    m = jnp.where(state.inv_mass > 0, 1.0 / jnp.maximum(state.inv_mass, 1e-30), 0.0)
-    kinetic = 0.5 * jnp.sum(
-        m * jnp.where(dyn, jnp.sum(state.linvel**2, axis=-1), 0.0)
-    )
-    metrics = dict(
+    if not with_metrics:
+        return state
+    return state, _base_metrics(
+        state,
         num_pairs=cand.count,
         num_contacts=contacts.count,
         pair_overflow=cand.overflow,
         contact_overflow=contacts.overflow,
         max_penetration=jnp.max(jnp.where(contacts.valid, contacts.depth, 0.0)),
+    )
+
+
+def _base_metrics(state: WorldState, **counters):
+    """Per-tick observability counters (SURVEY.md §5 metrics plan)."""
+    dyn = state.dynamic
+    m = jnp.where(state.inv_mass > 0, 1.0 / jnp.maximum(state.inv_mass, 1e-30), 0.0)
+    kinetic = 0.5 * jnp.sum(
+        m * jnp.where(dyn, jnp.sum(state.linvel**2, axis=-1), 0.0)
+    )
+    counters.update(
         kinetic_energy=kinetic,
         num_bodies=jnp.sum(dyn.astype(jnp.int32)),
     )
-    return state, metrics
+    return counters
+
+
+def step_with_diagnostics(state: WorldState, config: EngineConfig,
+                          trimesh=None, use_pallas=None):
+    """``step()`` that also returns per-tick observability counters.
+
+    Delegates to the same ``_step_impl`` as production stepping — trimesh
+    and dense-pipeline aware, so diagnostics mode never runs a different
+    pipeline than ``step`` (same matmul-precision scope included).
+    """
+    import contextlib
+    prec = (jax.default_matmul_precision(config.matmul_precision)
+            if config.matmul_precision != "default" else contextlib.nullcontext())
+    with prec:
+        return _step_impl(state, config, trimesh, use_pallas,
+                          with_metrics=True)
 
 
 def make_step_fn(config: EngineConfig, substeps: int = 1, donate: bool = True,

@@ -119,4 +119,12 @@ class GameClient:
             linvel=np.asarray(self.dir, np.float32) * speed))
 
     def close(self):
+        # polite leave (enet_peer_disconnect before window close in the
+        # reference): without it the server keeps the peer and retransmits
+        # reliable snapshots to a dead address until its peer timeout
+        if self.peer.connected:
+            try:
+                self.peer.disconnect()
+            except OSError:
+                pass
         self.host.close()

@@ -254,7 +254,12 @@ class GameServer:
         # prefer the C++ transport when built (same wire format; see
         # native/transport.cpp) — the Python Host is the fallback
         from rl_ode_physics_tpu.net.native_transport import make_host
-        self.host = make_host(port=port, max_peers=max_players,
+        # peer headroom beyond the player table: the transport now enforces
+        # max_peers (ENet parity — overflow connects are ignored), and the
+        # reference's application-level server-full path (accept, then
+        # disconnect when no player slot is free, src/main.c:164-167) needs
+        # the transport to accept that extra connection first
+        self.host = make_host(port=port, max_peers=max_players + 2,
                               prefer_native=prefer_native)
         self.max_players = max_players
         self.players = protocol.empty_players(max_players)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import select
 import socket
 import struct
 import time
@@ -38,6 +39,18 @@ RTO = 0.05                          # retransmit timeout (s)
 MAX_RETRIES = 300                   # ~15 s before peer considered dead
                                     # (ENet defaults to a ~30 s window; a
                                     # client may stall in a jit compile)
+PEER_TIMEOUT = 30.0                 # drop a peer with unacked traffic that
+                                    # has been silent this long (ENet's
+                                    # default ballpark). Must stay lenient:
+                                    # a single-threaded endpoint stalled in
+                                    # a jit compile stops pumping and its
+                                    # peers go "silent" through no fault of
+                                    # their own. The retransmit WINDOW, not
+                                    # this timeout, is what bounds the
+                                    # dead-peer flood.
+RETRANSMIT_WINDOW = 64              # only the oldest N pending messages per
+                                    # peer retransmit per pass (ENet-style
+                                    # windowing; bounds flood bandwidth)
 NUM_CHANNELS = 2                    # src/main.c:68
 
 
@@ -167,13 +180,14 @@ class Host:
             now = time.monotonic()
             if now >= deadline:
                 return None
-            self.sock.settimeout(max(0.0, min(deadline - now, 0.01)))
+            # block until readable (or a short cap so retransmits keep
+            # ticking) — select, like native/transport.cpp; recv(0) returns
+            # immediately on Linux and would busy-spin the whole timeout
             try:
-                self.sock.recv(0)  # wait for readability cheaply
-            except (TimeoutError, socket.timeout, BlockingIOError, OSError):
+                select.select([self.sock], [], [],
+                              max(0.0, min(deadline - now, 0.01)))
+            except OSError:
                 pass
-            finally:
-                self.sock.setblocking(False)
 
     def flush(self):
         self._pump()
@@ -204,7 +218,12 @@ class Host:
                 self._sendto(hdr, addr)
                 self._connecting[addr] = now
         for peer in list(self.peers.values()):
-            for key, pend in list(peer.pending.items()):
+            if (peer.pending
+                    and now - peer.last_heard > PEER_TIMEOUT):
+                self._drop_peer(peer.addr)      # silent peer with unacked data
+                continue
+            # windowed retransmit: oldest messages first, bounded per pass
+            for key, pend in list(peer.pending.items())[:RETRANSMIT_WINDOW]:
                 if now - pend.sent_at > RTO:
                     pend.retries += 1
                     if pend.retries > MAX_RETRIES:
@@ -239,10 +258,13 @@ class Host:
             peer = self.peers.get(addr)
             if peer is None:
                 if len(self.peers) >= self.max_peers:
-                    # refuse politely: still CONNECT_ACK so the client can be
-                    # disconnected by the application (server-full path,
-                    # src/main.c:164-167 disconnects after accepting)
-                    pass
+                    # ENet parity: a host created with peerCount slots simply
+                    # has no peer for the overflow connect — the datagram is
+                    # ignored and the client times out (the application-level
+                    # server-full path, src/main.c:164-167, fires when the
+                    # transport accepted but the player table is full;
+                    # GameServer allocates peer headroom for exactly that)
+                    return
                 peer = Peer(self, addr)
                 self.peers[addr] = peer
             ack = HEADER.pack(MAGIC, int(Flags.CONNECT_ACK), 0, 0, 1, 0)
@@ -292,7 +314,16 @@ class Host:
         # reassemble fragments
         key = (channel, seq)
         if frag_cnt > 1:
-            buf = peer.reorder.setdefault(key, [None] * frag_cnt)
+            buf = peer.reorder.get(key)
+            if buf is None:
+                buf = [None] * frag_cnt
+                peer.reorder[key] = buf
+            elif not isinstance(buf, list):
+                # duplicate fragment of an already-assembled message still
+                # waiting for in-order delivery (retransmit after a lost
+                # ACK) — the entry holds the completed bytes; drop the dup
+                # (mirrors the C++ transport's frag_done guard)
+                return
             if frag_idx < len(buf):
                 buf[frag_idx] = payload
             if any(b is None for b in buf):

@@ -96,10 +96,22 @@ def rand_double(value_u32, lo: float, hi: float):
     """Map a raw draw to [lo, hi] like ``Rand_Double`` (src/rand.c:24).
 
     Note the reference divides by 0xFFFFFFFF (inclusive upper bound), not
-    2**32 — reproduced exactly.
+    2**32 — reproduced exactly. The reference computes in f64; on the jnp
+    path that requires ``jax.config.jax_enable_x64`` (otherwise
+    ``astype(float64)`` silently yields f32 and traced draws diverge from
+    the reference), so we raise instead of silently degrading.
     """
-    xp = jnp if isinstance(value_u32, jnp.ndarray) else np
-    v = value_u32.astype(xp.float64) / np.float64(0xFFFFFFFF)
+    if isinstance(value_u32, jnp.ndarray):
+        import jax
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "rand_double on a JAX array needs jax_enable_x64 for the "
+                "reference's f64 semantics; use the numpy path (host-side "
+                "np.uint32 input) or enable x64."
+            )
+        v = value_u32.astype(jnp.float64) / np.float64(0xFFFFFFFF)
+    else:
+        v = value_u32.astype(np.float64) / np.float64(0xFFFFFFFF)
     return lo + v * (float(hi) - float(lo))
 
 

@@ -120,6 +120,61 @@ def test_transport_ordered_delivery():
         client.close()
 
 
+def test_transport_duplicate_fragment_of_assembled_message():
+    """A retransmitted fragment arriving after its message assembled (but
+    before in-order delivery) must be dropped, not crash reassembly: the
+    reorder entry already holds the completed bytes (regression: duplicate
+    frag raised TypeError and killed the event loop)."""
+    from rl_ode_physics_tpu.net.transport import Flags, Host as PyHost
+
+    server = PyHost(port=None, max_peers=4)
+    try:
+        addr = ("127.0.0.1", 65000)
+        peer = server.connect(addr)      # materialize a peer object
+        peer.connected = True
+
+        # seq 1 (out of order: seq 0 never arrives) assembles from 2 frags
+        # but cannot deliver yet
+        server._handle(addr, Flags.RELIABLE, 0, 0, 2, 1, b"aa")
+        server._handle(addr, Flags.RELIABLE, 0, 1, 2, 1, b"bb")
+        assert isinstance(peer.reorder[(0, 1)], bytes)
+        # duplicate of fragment 0 (ACK was lost, sender retransmitted)
+        server._handle(addr, Flags.RELIABLE, 0, 0, 2, 1, b"aa")
+        assert peer.reorder[(0, 1)] == b"aabb"
+
+        # seq 0 arrives → both deliver, in order
+        server._handle(addr, Flags.RELIABLE, 0, 0, 1, 0, b"first")
+        got = [server.events.popleft().data for _ in range(len(server.events))]
+        assert got == [b"first", b"aabb"]
+    finally:
+        server.close()
+
+
+def test_transport_max_peers_enforced():
+    """ENet parity: a host with max_peers=1 ignores the overflow connect."""
+    server = Host(port=None, max_peers=1)
+    c1 = Host(port=None, max_peers=1)
+    c2 = Host(port=None, max_peers=1)
+    try:
+        p1 = c1.connect(("127.0.0.1", server.port))
+        for _ in range(50):
+            _drain(server, [], 0.005)
+            _drain(c1, [], 0.005)
+            if p1.connected:
+                break
+        assert p1.connected
+        p2 = c2.connect(("127.0.0.1", server.port))
+        for _ in range(20):
+            _drain(server, [], 0.005)
+            _drain(c2, [], 0.005)
+        assert not p2.connected
+        assert len(server.peers) == 1
+    finally:
+        server.close()
+        c1.close()
+        c2.close()
+
+
 # --- server/client round trip ----------------------------------------------
 
 def test_server_client_roundtrip():
