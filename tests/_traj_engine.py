@@ -1,0 +1,104 @@
+"""Subprocess helper: run the TPU engine in float64 conformance mode and
+dump (initial state, per-step position/quaternion trajectory) to an npz.
+
+Run as:  python tests/_traj_engine.py <scene> <out.npz> <steps> [solver]
+
+``solver``: pgs (default — QuickStep ordering) or dantzig (direct LCP,
+dWorldStep semantics). Separate process because jax_enable_x64 is
+process-global (same pattern as tests/test_x64.py). Engine settings are the
+conformance-grade ones: exact Sutherland-Hodgman box clipping, K=8
+manifolds, float64, exact matmuls.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+from rl_ode_physics_tpu.core.config import EngineConfig, SolverKind
+from rl_ode_physics_tpu.core.state import BodyType
+from rl_ode_physics_tpu.core.world import make_step_fn
+from rl_ode_physics_tpu.models import scenes
+from rl_ode_physics_tpu.models.builder import WorldBuilder
+from rl_ode_physics_tpu.testing.referee import state_to_numpy
+
+def make_cfg(solver: str) -> EngineConfig:
+    # DANTZIG runs a dense (3C, 3C) masked solve per pivot — keep the row
+    # capacity tight so the f64 CPU conformance run stays fast.
+    max_contacts = 96 if solver == "dantzig" else 256
+    return EngineConfig(
+        max_bodies=16, max_pair_candidates=128, max_contacts=max_contacts,
+        dtype="float64", solver=SolverKind[solver.upper()],
+        exact_box_clip=True, max_contacts_per_pair=8,
+        matmul_precision="highest",
+    )
+
+
+CFG = make_cfg("pgs")
+
+
+def mini_stack_world(cfg):
+    """Reduced BASELINE config 2: box tower + spheres + capsules on the
+    floor. Tower boxes use distinct side lengths so ODE's SAT face-selection
+    argmax is never degenerate between the two implementations (the |C|+1e-6
+    fudge breaks ties only when the box extents differ)."""
+    b = WorldBuilder(cfg, 0)
+    b.add_body_map((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (100.0, 1.0, 100.0))
+    # 3-box tower, distinct sizes, slight initial clearance
+    b.add_body(BodyType.BOX, (0.0, 0.88, 0.0), (0.7, 0.7, 0.7))
+    b.add_body(BodyType.BOX, (0.05, 1.58, 0.03), (0.6, 0.6, 0.6))
+    b.add_body(BodyType.BOX, (-0.04, 2.20, -0.02), (0.5, 0.5, 0.5))
+    # spheres: one near rest, one dropped
+    b.add_body(BodyType.SPHERE, (1.5, 0.85, 0.0), (0.3, 0.0, 0.0))
+    b.add_body(BodyType.SPHERE, (-1.5, 1.5, 0.3), (0.3, 0.0, 0.0))
+    # dynamic capsule lying on its side (local Z rotated onto world X)
+    s = float(np.sin(np.pi / 4))
+    b.add_body(BodyType.CAPSULE, (0.0, 0.83, 2.0), (0.25, 1.0, 0.0),
+               quat=(s, 0.0, s, 0.0))
+    # kinematic player capsule standing in the scene
+    b.add_body(BodyType.CAPSULE, (3.0, 1.5, 0.0), (0.5, 1.0, 0.0),
+               kinematic=True)
+    return b.finish()
+
+
+def build(scene: str, cfg: EngineConfig):
+    if scene == "sphere_drop":
+        return scenes.sphere_drop_world(cfg, height=2.0)
+    if scene == "mini_stack":
+        return mini_stack_world(cfg)
+    raise SystemExit(f"unknown scene {scene!r}")
+
+
+def main():
+    scene, out_path, steps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    solver = sys.argv[4] if len(sys.argv) > 4 else "pgs"
+    cfg = make_cfg(solver)
+    w = build(scene, cfg)
+    init = state_to_numpy(w)
+    assert init["pos"].dtype == np.float64
+    assert np.asarray(w.pos).dtype == np.float64, "x64 mode not active"
+
+    stepf = make_step_fn(cfg, substeps=1, donate=False)
+    pos_traj, quat_traj = [], []
+    for _ in range(steps):
+        w = stepf(w)
+        pos_traj.append(np.asarray(w.pos))
+        quat_traj.append(np.asarray(w.quat))
+
+    np.savez(
+        out_path,
+        pos=np.stack(pos_traj), quat=np.stack(quat_traj),
+        **{f"init_{k}": v for k, v in init.items()},
+    )
+    print("ok")
+
+
+if __name__ == "__main__":
+    main()
