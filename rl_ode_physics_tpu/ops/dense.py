@@ -140,7 +140,9 @@ def dense_solve(state: WorldState, manifold, config: EngineConfig) -> WorldState
     def one_iter(_, carry):
         linvel, angvel, lam_n, lam_1, lam_2 = carry
 
-        dl_n = omega * (target - rel_v(linvel, angvel, n_ax, rxn_a_n, rxn_b_n)) / d_n
+        # residuals include ODE's CFM softening −cfm/h·λ (see ops/solver.py)
+        dl_n = omega * (target - rel_v(linvel, angvel, n_ax, rxn_a_n, rxn_b_n)
+                        - cfm_term * lam_n) / d_n
         new_n = jnp.maximum(lam_n + dl_n, 0.0)
         dl_n = jnp.where(valid, new_n - lam_n, 0.0)
         lam_n = lam_n + dl_n
@@ -148,12 +150,14 @@ def dense_solve(state: WorldState, manifold, config: EngineConfig) -> WorldState
         if config.friction:
             bound = (jnp.full_like(lam_n, jnp.inf) if mu_inf
                      else config.mu * lam_n)
-            dl_1 = omega * (-rel_v(linvel, angvel, t1_ax, rxn_a_1, rxn_b_1)) / d_t1
+            dl_1 = omega * (-rel_v(linvel, angvel, t1_ax, rxn_a_1, rxn_b_1)
+                            - cfm_term * lam_1) / d_t1
             new_1 = jnp.clip(lam_1 + dl_1, -bound, bound)
             dl_1 = jnp.where(valid, new_1 - lam_1, 0.0)
             lam_1 = lam_1 + dl_1
 
-            dl_2 = omega * (-rel_v(linvel, angvel, t2_ax, rxn_a_2, rxn_b_2)) / d_t2
+            dl_2 = omega * (-rel_v(linvel, angvel, t2_ax, rxn_a_2, rxn_b_2)
+                            - cfm_term * lam_2) / d_t2
             new_2 = jnp.clip(lam_2 + dl_2, -bound, bound)
             dl_2 = jnp.where(valid, new_2 - lam_2, 0.0)
             lam_2 = lam_2 + dl_2

@@ -13,7 +13,13 @@ Per contact row (normal n, arm r_a/r_b, bodies a, b):
     target   = max(erp/dt · depth  [capped by max_correcting_vel],
                    bounce · (−v_n⁰)  if −v_n⁰ > bounce_vel)      (ODE rhs)
     d        = m_a⁻¹ + m_b⁻¹ + n·((I_a⁻¹(r_a×n))×r_a) + (same for b) + cfm/dt
-    dλ       = ω · (target − v_n) / d,   λ ← max(λ + dλ, 0)
+    dλ       = ω · (target − v_n − (cfm/dt)·λ) / d,   λ ← max(λ + dλ, 0)
+
+The ``−(cfm/dt)·λ`` residual term implements ODE's CFM *constraint
+softening*: QuickStep converges to ``(A + cfm/h·I)λ = rhs`` (the same
+regularized system the direct ``SolverKind.DANTZIG`` solver inverts), not
+to the hard constraint — verified mutually consistent by
+``tests/test_lcp.py``.
 
 Friction uses two tangent rows with bound μ·λ_n (μ=∞ ⇒ unclamped tangential
 velocity kill, the reference's setting).
@@ -168,18 +174,24 @@ def _apply_impulse(linvel, angvel, inv_m, inv_i, body, r, impulse):
 
 
 def solve_pgs(state: WorldState, contacts: Contacts,
-              config: EngineConfig) -> WorldState:
+              config: EngineConfig, lam0=None, return_lam: bool = False):
     """Sequential projected Gauss-Seidel (SOR) — ODE QuickStep ordering.
 
     ``lax.scan`` over rows inside ``lax.fori_loop`` over iterations. Row
     order is buffer order (deterministic); ODE's per-iteration row
     randomization is intentionally dropped for bitwise replay (SURVEY.md
     §2d determinism contract).
+
+    ``lam0``: optional (C, 3) initial impulses (warm start,
+    ``ops/warmstart.py``) — applied to the velocities up front, then
+    refined; default cold start is ODE parity. ``return_lam`` additionally
+    returns the accumulated (C, 3) impulses for the next step's cache.
     """
     rows = _row_data(state, contacts, config)
     inv_m = state.inv_mass
     inv_i = rows["inv_i"]
     omega = config.sor_omega
+    cfm_term = config.cfm / config.dt
     mu_inf = math.isinf(config.mu)
 
     c = contacts.a.shape[0]
@@ -203,9 +215,10 @@ def solve_pgs(state: WorldState, contacts: Contacts,
             linvel, angvel = _apply_impulse(linvel, angvel, inv_m, inv_i, b, r_b, imp)
             return linvel, angvel
 
-        # normal row
+        # normal row (residual includes ODE's CFM softening term −cfm/h·λ)
         n = rows["n"][i]
-        dlam = omega * (rows["target"][i] - rel_v(n)) / rows["d_n"][i]
+        dlam = omega * (rows["target"][i] - rel_v(n)
+                        - cfm_term * lam_n[i]) / rows["d_n"][i]
         new_lam = jnp.maximum(lam_n[i] + dlam, 0.0)
         dlam = jnp.where(live, new_lam - lam_n[i], 0.0)
         lam_n = lam_n.at[i].add(dlam)
@@ -215,14 +228,16 @@ def solve_pgs(state: WorldState, contacts: Contacts,
         if config.friction:
             bound = jnp.inf if mu_inf else config.mu * lam_n[i]
             t1 = rows["t1"][i]
-            dls = omega * (0.0 - rel_v(t1)) / rows["d_t1"][i]
+            dls = omega * (0.0 - rel_v(t1)
+                           - cfm_term * lam_t1[i]) / rows["d_t1"][i]
             new_l = jnp.clip(lam_t1[i] + dls, -bound, bound)
             dls = jnp.where(live, new_l - lam_t1[i], 0.0)
             lam_t1 = lam_t1.at[i].add(dls)
             linvel, angvel = apply_pair(linvel, angvel, t1, dls)
 
             t2 = rows["t2"][i]
-            dls = omega * (0.0 - rel_v(t2)) / rows["d_t2"][i]
+            dls = omega * (0.0 - rel_v(t2)
+                           - cfm_term * lam_t2[i]) / rows["d_t2"][i]
             new_l = jnp.clip(lam_t2[i] + dls, -bound, bound)
             dls = jnp.where(live, new_l - lam_t2[i], 0.0)
             lam_t2 = lam_t2.at[i].add(dls)
@@ -234,12 +249,36 @@ def solve_pgs(state: WorldState, contacts: Contacts,
         carry, _ = jax.lax.scan(one_row, carry, jnp.arange(c))
         return carry
 
-    lam0 = jnp.zeros((c,), state.linvel.dtype)
-    carry = (state.linvel, state.angvel, lam0, lam0, lam0)
-    linvel, angvel, *_ = jax.lax.fori_loop(
+    zero = jnp.zeros((c,), state.linvel.dtype)
+    linvel, angvel = state.linvel, state.angvel
+    if lam0 is None:
+        l_n = l_1 = l_2 = zero
+    else:
+        # warm start: apply the cached impulses to the velocities, then let
+        # the sweeps refine from there
+        l_n = jnp.where(contacts.valid, lam0[:, 0], 0.0)
+        l_1 = jnp.where(contacts.valid, lam0[:, 1], 0.0)
+        l_2 = jnp.where(contacts.valid, lam0[:, 2], 0.0)
+        imp = (rows["n"] * l_n[:, None] + rows["t1"] * l_1[:, None]
+               + rows["t2"] * l_2[:, None])
+        for sign, body, r in ((-1.0, contacts.a, rows["r_a"]),
+                              (1.0, contacts.b, rows["r_b"])):
+            dlin = sign * inv_m[body, None] * imp
+            torque = sign * jnp.cross(r, imp)
+            dang = jnp.einsum("cij,cj->ci", inv_i[body], torque)
+            n_slots = state.num_slots
+            oh = jax.nn.one_hot(body, n_slots, dtype=imp.dtype)
+            linvel = linvel + oh.T @ dlin
+            angvel = angvel + oh.T @ dang
+
+    carry = (linvel, angvel, l_n, l_1, l_2)
+    linvel, angvel, lam_n, lam_t1, lam_t2 = jax.lax.fori_loop(
         0, config.solver_iterations, one_iter, carry
     )
-    return state.replace(linvel=linvel, angvel=angvel)
+    out = state.replace(linvel=linvel, angvel=angvel)
+    if return_lam:
+        return out, jnp.stack([lam_n, lam_t1, lam_t2], axis=-1)
+    return out
 
 
 def _half_row_selector(state: WorldState, contacts: Contacts):
@@ -271,7 +310,7 @@ def _half_row_selector(state: WorldState, contacts: Contacts):
 
 
 def solve_jacobi(state: WorldState, contacts: Contacts,
-                 config: EngineConfig) -> WorldState:
+                 config: EngineConfig, lam0=None, return_lam: bool = False):
     """Batched projected Jacobi with mass splitting — the throughput solver.
 
     Every iteration is a fully parallel, *gather-only* pass:
@@ -360,7 +399,10 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
             return (jnp.sum(dlin * axis, -1)
                     + jnp.sum(ang_b * rxb, -1) - jnp.sum(ang_a * rxa, -1))
 
-        dl_n = omega * (rows["target"] - rel(n_ax, rxn_a_n, rxn_b_n)) / d_n
+        # residuals include ODE's CFM softening term −cfm/h·λ (QuickStep
+        # converges to the regularized system (A + cfm/h·I)λ = rhs)
+        dl_n = omega * (rows["target"] - rel(n_ax, rxn_a_n, rxn_b_n)
+                        - cfm_term * lam_n) / d_n
         new_n = jnp.maximum(lam_n + dl_n, 0.0)
         dl_n = jnp.where(live, new_n - lam_n, 0.0)
         lam_n = lam_n + dl_n
@@ -368,12 +410,14 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
         if config.friction:
             bound = (jnp.full_like(lam_n, jnp.inf) if mu_inf
                      else config.mu * lam_n)
-            dl_1 = omega * (-rel(t1_ax, rxn_a_1, rxn_b_1)) / d_t1
+            dl_1 = omega * (-rel(t1_ax, rxn_a_1, rxn_b_1)
+                            - cfm_term * lam_t1) / d_t1
             new_1 = jnp.clip(lam_t1 + dl_1, -bound, bound)
             dl_1 = jnp.where(live, new_1 - lam_t1, 0.0)
             lam_t1 = lam_t1 + dl_1
 
-            dl_2 = omega * (-rel(t2_ax, rxn_a_2, rxn_b_2)) / d_t2
+            dl_2 = omega * (-rel(t2_ax, rxn_a_2, rxn_b_2)
+                            - cfm_term * lam_t2) / d_t2
             new_2 = jnp.clip(lam_t2 + dl_2, -bound, bound)
             dl_2 = jnp.where(live, new_2 - lam_t2, 0.0)
             lam_t2 = lam_t2 + dl_2
@@ -391,17 +435,39 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
                         preferred_element_type=f)        # (N, 6)
         return vel6 + dv, lam_n, lam_t1, lam_t2
 
-    lam0 = jnp.zeros((c,), f)
+    zero = jnp.zeros((c,), f)
     vel0 = jnp.concatenate([state.linvel, state.angvel], -1)
-    carry = (vel0, lam0, lam0, lam0)
-    vel6, *_ = jax.lax.fori_loop(
+    if lam0 is None:
+        l_n = l_1 = l_2 = zero
+    else:
+        # warm start: apply cached impulses via the same contrib machinery
+        l_n = jnp.where(live, lam0[:, 0], 0.0)
+        l_1 = jnp.where(live, lam0[:, 1], 0.0)
+        l_2 = jnp.where(live, lam0[:, 2], 0.0)
+        imp0 = (n_ax * l_n[:, None] + t1_ax * l_1[:, None]
+                + t2_ax * l_2[:, None])
+        imp0_h = jnp.concatenate([imp0, imp0], axis=0)
+        contrib0 = jnp.concatenate(
+            [lin_sc * imp0_h, matmul3(ang_op, imp0_h)], axis=-1)
+        vel0 = vel0 + jnp.matmul(s_mm_t, contrib0.astype(mm_dtype),
+                                 preferred_element_type=f)
+    carry = (vel0, l_n, l_1, l_2)
+    vel6, lam_n, lam_t1, lam_t2 = jax.lax.fori_loop(
         0, config.solver_iterations, one_iter, carry
     )
-    return state.replace(linvel=vel6[:, :3], angvel=vel6[:, 3:])
+    out = state.replace(linvel=vel6[:, :3], angvel=vel6[:, 3:])
+    if return_lam:
+        return out, jnp.stack([lam_n, lam_t1, lam_t2], axis=-1)
+    return out
 
 
 def solve(state: WorldState, contacts: Contacts,
           config: EngineConfig) -> WorldState:
     if config.solver is SolverKind.PGS:
         return solve_pgs(state, contacts, config)
+    if config.solver is SolverKind.DANTZIG:
+        from rl_ode_physics_tpu.ops.lcp import solve_dantzig
+        return solve_dantzig(state, contacts, config)
+    # JACOBI, and the FUSED fallback when the megakernel can't run
+    # (trimesh attached or non-TPU backend) — same math as the megakernel.
     return solve_jacobi(state, contacts, config)

@@ -108,7 +108,7 @@ def _pack_inputs(state: WorldState, contacts: Contacts,
 
 
 def _kernel_factory(c: int, iterations: int, omega: float, mu: float,
-                    friction: bool):
+                    friction: bool, cfm_term: float):
     mu_inf = math.isinf(mu)
 
     def kernel(s_ref, rows_ref, hop_ref, vel_ref, out_ref):
@@ -145,7 +145,9 @@ def _kernel_factory(c: int, iterations: int, omega: float, mu: float,
                         + jnp.sum(ang_b * rxb, -1, keepdims=True)
                         - jnp.sum(ang_a * rxa, -1, keepdims=True))  # (C,1)
 
-            dl_n = omega * (target[:, None] - rel(n_ax, rxa_n, rxb_n)) / d_n[:, None]
+            # CFM softening residual term, identical to ops/solver.py
+            dl_n = omega * (target[:, None] - rel(n_ax, rxa_n, rxb_n)
+                            - cfm_term * lam_n) / d_n[:, None]
             new_n = jnp.maximum(lam_n + dl_n, 0.0)
             dl_n = jnp.where(live[:, None], new_n - lam_n, 0.0)
             lam_n = lam_n + dl_n
@@ -155,12 +157,14 @@ def _kernel_factory(c: int, iterations: int, omega: float, mu: float,
                     bound = jnp.full_like(lam_n, jnp.inf)
                 else:
                     bound = mu * lam_n
-                dl_1 = omega * (-rel(t1_ax, rxa_1, rxb_1)) / d_t1[:, None]
+                dl_1 = omega * (-rel(t1_ax, rxa_1, rxb_1)
+                                - cfm_term * lam_1) / d_t1[:, None]
                 new_1 = jnp.clip(lam_1 + dl_1, -bound, bound)
                 dl_1 = jnp.where(live[:, None], new_1 - lam_1, 0.0)
                 lam_1 = lam_1 + dl_1
 
-                dl_2 = omega * (-rel(t2_ax, rxa_2, rxb_2)) / d_t2[:, None]
+                dl_2 = omega * (-rel(t2_ax, rxa_2, rxb_2)
+                                - cfm_term * lam_2) / d_t2[:, None]
                 new_2 = jnp.clip(lam_2 + dl_2, -bound, bound)
                 dl_2 = jnp.where(live[:, None], new_2 - lam_2, 0.0)
                 lam_2 = lam_2 + dl_2
@@ -197,7 +201,8 @@ def _solve_batched(s_mat, rowdata, halfop, vel, config: EngineConfig,
     dtype = vel.dtype
 
     kernel = _kernel_factory(c, config.solver_iterations,
-                             config.jacobi_omega, config.mu, config.friction)
+                             config.jacobi_omega, config.mu, config.friction,
+                             config.cfm / config.dt)
 
     def spec(shape):
         return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * len(shape),
