@@ -28,15 +28,21 @@ def main():
     from rl_ode_physics_tpu.models import scenes
     from rl_ode_physics_tpu.parallel.batch import replicate, make_batched_step_fn
 
+    from rl_ode_physics_tpu.core.config import SolverKind
+
     num_worlds = int(os.environ.get("BENCH_WORLDS", 8192))
     num_bodies = int(os.environ.get("BENCH_BODIES", 64))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", 8))
     launches = int(os.environ.get("BENCH_STEPS", 12))
     chunk = int(os.environ.get("BENCH_CHUNK", 2048))
+    solver = SolverKind[os.environ.get("BENCH_SOLVER", "jacobi").upper()]
     if num_worlds <= chunk or num_worlds % chunk:
         chunk = 0
 
     config = EngineConfig(
+        solver=solver,
+        solver_iterations=int(os.environ.get("BENCH_ITERS", 20)),
+        friction=os.environ.get("BENCH_FRICTION", "1") != "0",
         max_bodies=num_bodies,
         max_pair_candidates=4 * num_bodies,
         # 3*num_bodies = 192 rows: measured peak is 101 live contacts

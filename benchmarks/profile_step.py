@@ -21,19 +21,23 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main(num_worlds: int = 2048, substeps: int = 8):
+    import os
+
     from rl_ode_physics_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
     import jax
     import numpy as np
-    from rl_ode_physics_tpu.core.config import EngineConfig
+    from rl_ode_physics_tpu.core.config import EngineConfig, SolverKind
     from rl_ode_physics_tpu.models import scenes
     from rl_ode_physics_tpu.parallel.batch import (
         replicate, make_batched_step_fn, batched_step,
     )
 
+    solver = SolverKind[os.environ.get("BENCH_SOLVER", "jacobi").upper()]
     cfg = EngineConfig(max_bodies=64, max_pair_candidates=256,
                        max_contacts=192, max_contacts_per_pair=4,
+                       solver=solver,
                        enable_capsules=False, enable_planes=False)
     w = scenes.bench_world(cfg, num_bodies=60)
     batch = replicate(w, num_worlds)

@@ -84,6 +84,15 @@ class EngineConfig:
     # gathers — O(N²K) memory, the fast path for ≲128-body worlds; the
     # sparse compacted pipeline is the default and required for trimesh
     dense_pipeline: bool = False
+    # typed-bucket narrowphase (ops/narrowphase.py:narrowphase_typed): one
+    # compacted candidate list per pair type, each running only its own
+    # kernel at its intrinsic manifold size. Throughput path for
+    # JACOBI/FUSED (contact rows grouped by bucket, not global pair order);
+    # conformance runs keep the classic path. Default per-bucket candidate
+    # capacity is max_pair_candidates; override per type pair via
+    # bucket_caps = ((t1, t2, cap), ...).
+    typed_buckets: bool = False
+    bucket_caps: tuple = ()
 
     # --- contact surface (reference NearCallback, src/main.c:684-687) ----
     bounce: float = 0.2
@@ -106,6 +115,13 @@ class EngineConfig:
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
+
+    def bucket_capacity(self, t1: int, t2: int) -> int:
+        """Candidate capacity of the (t1, t2) typed narrowphase bucket."""
+        for (b1, b2, cap) in self.bucket_caps:
+            if (b1, b2) == (t1, t2):
+                return int(cap)
+        return self.max_pair_candidates
 
     @property
     def num_pairs(self) -> int:

@@ -261,11 +261,13 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
             max_penetration=jnp.max(jnp.where(valid, depths, 0.0)),
         )
 
-    if config.solver is SolverKind.FUSED and trimesh is None:
+    if (config.solver is SolverKind.FUSED and trimesh is None
+            and _pallas_available()):
         from rl_ode_physics_tpu.ops import megakernel
         return megakernel.fused_step(state, config, with_metrics=with_metrics)
+    # FUSED off-TPU or with a trimesh attached falls through to the regular
+    # pipeline, where solve() runs the same math as JACOBI.
 
-    cand = bp.broadphase(state, config)
     extra = None
     if trimesh is not None:
         from rl_ode_physics_tpu.ops.trimesh import mesh_narrowphase
@@ -273,7 +275,13 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
             use_pallas = _pallas_available()
         extra = mesh_narrowphase(state, trimesh, config,
                                  use_pallas=use_pallas)
-    contacts = np_ops.narrowphase(state, cand, config, extra)
+    if config.typed_buckets:
+        contacts, num_pairs = np_ops.narrowphase_typed(state, config, extra)
+        pair_overflow = jnp.zeros((), jnp.int32)   # folded into contacts.overflow
+    else:
+        cand = bp.broadphase(state, config)
+        contacts = np_ops.narrowphase(state, cand, config, extra)
+        num_pairs, pair_overflow = cand.count, cand.overflow
     state = integrator.apply_external_forces(state, config)
     state = solver_ops.solve(state, contacts, config)
     state = integrator.integrate_positions(state, config)
@@ -281,9 +289,9 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
         return state
     return state, _base_metrics(
         state,
-        num_pairs=cand.count,
+        num_pairs=num_pairs,
         num_contacts=contacts.count,
-        pair_overflow=cand.overflow,
+        pair_overflow=pair_overflow,
         contact_overflow=contacts.overflow,
         max_penetration=jnp.max(jnp.where(contacts.valid, contacts.depth, 0.0)),
     )

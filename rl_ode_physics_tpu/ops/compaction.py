@@ -17,24 +17,22 @@ def compact_rows(mask: jnp.ndarray, payload: jnp.ndarray, k: int):
     """Compact the rows of ``payload`` (M, D) where ``mask`` is True into the
     first ≤k output rows, preserving order.
 
-    Implemented as ONE multi-operand ``lax.sort`` that carries the payload
-    columns through the sort network — ~2× faster on TPU than
-    top_k + row gather (the gather was the hottest op of the whole substep;
-    see docs/BENCHMARKS.md).
+    Implemented as rank-select (``compact_mask`` — popcount cumsums, no sort
+    network) followed by a one-hot selection *matmul* (k, M)·(M, D) that
+    rides the MXU. History: round 1 used a payload-carrying multi-operand
+    ``lax.sort`` because top_k + XLA row-gather was slower; the round-2
+    profile showed the payload sort itself at 2.4 ms/substep @2048 worlds
+    (15%), and the rank-select + selector-matmul form removes it
+    (docs/BENCHMARKS.md).
 
     Returns (rows (k, D), valid (k,), count (), overflow ()).
     """
     m, d = payload.shape
-    pos = jnp.arange(m, dtype=jnp.int32)
-    keys = jnp.where(mask, pos, m + pos)      # hits first, stable order
-    ops = (keys,) + tuple(payload[:, i] for i in range(d))
-    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
-    kk = sorted_ops[0][:k]
-    valid = kk < m
-    rows = jnp.stack([sorted_ops[1 + i][:k] for i in range(d)], axis=-1)
-    rows = jnp.where(valid[:, None], rows, 0.0)
-    total = jnp.sum(mask.astype(jnp.int32))
-    return rows, valid, jnp.minimum(total, k), jnp.maximum(total - k, 0)
+    idx, valid, count, overflow = compact_mask(mask, k)
+    sel = ((idx[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :])
+           & valid[:, None]).astype(payload.dtype)       # (k, M) one-hot
+    rows = jnp.matmul(sel, payload)
+    return rows, valid, count, overflow
 
 
 def compact_mask(mask: jnp.ndarray, k: int):

@@ -94,6 +94,11 @@ class Contacts:
     valid: jnp.ndarray   # (C,) bool
     count: jnp.ndarray   # () int32
     overflow: jnp.ndarray  # () int32 — contacts dropped at capacity
+    # stable identity (pair_flat·K + manifold slot; −1 when invalid) — lets
+    # the opt-in warm-start path (ops/warmstart.py) match rows across steps.
+    # The default pipeline ignores it (per-step transient contacts, ODE's
+    # dJointGroupEmpty parity).
+    key: jnp.ndarray     # (C,) int32
 
 
 def _pad_manifold(points, normals, depths, valid, k: int):
@@ -713,6 +718,149 @@ def collide_pair(pos_a, quat_a, type_a, size_a,
     return points, normals, depths, valid
 
 
+# intrinsic manifold capacity per pair kernel (slots the kernel can
+# actually populate) — the typed-bucket path allocates rows accordingly
+# instead of padding every pair to the global K
+_KERNEL_K = {
+    (int(BodyType.SPHERE), int(BodyType.SPHERE)): 1,
+    (int(BodyType.SPHERE), int(BodyType.BOX)): 1,
+    (int(BodyType.SPHERE), int(BodyType.CAPSULE)): 1,
+    (int(BodyType.SPHERE), int(BodyType.PLANE)): 1,
+    (int(BodyType.BOX), int(BodyType.BOX)): 8,
+    (int(BodyType.BOX), int(BodyType.CAPSULE)): 3,
+    (int(BodyType.BOX), int(BodyType.PLANE)): 8,
+    (int(BodyType.CAPSULE), int(BodyType.CAPSULE)): 2,
+    (int(BodyType.CAPSULE), int(BodyType.PLANE)): 2,
+}
+
+
+def _pair_eligibility(state: WorldState):
+    """(N, N) broadphase eligibility mask (same tests as
+    ops.broadphase.broadphase) plus canonical per-pair type codes."""
+    from rl_ode_physics_tpu.ops.broadphase import compute_aabbs
+
+    n = state.num_slots
+    aabb = compute_aabbs(state)
+    lo, hi = aabb[..., 0, :], aabb[..., 1, :]
+    overlap = jnp.all(
+        (lo[:, None, :] <= hi[None, :, :]) & (lo[None, :, :] <= hi[:, None, :]),
+        axis=-1)
+    cat, col = state.category, state.collide
+    mask_ok = (((cat[:, None] & col[None, :]) != 0)
+               | ((cat[None, :] & col[:, None]) != 0))
+    active = state.active
+    movable = state.inv_mass > 0
+    not_mesh = state.body_type != BodyType.TRIMESH
+    upper = (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
+    hit = (overlap & mask_ok & (active[:, None] & active[None, :])
+           & (movable[:, None] | movable[None, :])
+           & (not_mesh[:, None] & not_mesh[None, :]) & upper)
+    t = state.body_type
+    tmin = jnp.minimum(t[:, None], t[None, :])
+    tmax = jnp.maximum(t[:, None], t[None, :])
+    return hit, tmin, tmax
+
+
+def narrowphase_typed(state: WorldState, config: EngineConfig,
+                      extra=None) -> Contacts:
+    """Typed-bucket narrowphase: one compacted candidate list PER pair-type,
+    each running ONLY its own kernel with its intrinsic manifold size.
+
+    The classic path (``narrowphase``) evaluates every enabled pair kernel
+    on every candidate and mask-selects — simple, but a mixed scene pays
+    box-box SAT on its sphere-sphere pairs and pads every manifold to the
+    global K. Bucketing removes both costs (round-2 profile: narrowphase
+    ≈ 1/3 of the substep). Trade-off: contact rows come out grouped by
+    bucket rather than in global pair order, so this is the *throughput*
+    path (Jacobi/FUSED — order-independent math); conformance runs (PGS
+    row-order parity with the referee) keep the classic path. Enabled via
+    ``EngineConfig.typed_buckets``.
+    """
+    n = state.num_slots
+    ccap = config.max_contacts
+    k_glob = config.max_contacts_per_pair
+    f = state.pos.dtype
+
+    hit, tmin, tmax = _pair_eligibility(state)
+    hit_flat = hit.reshape(n * n)
+    tmin_f = tmin.reshape(n * n)
+    tmax_f = tmax.reshape(n * n)
+
+    feats = jnp.concatenate([
+        state.pos, state.quat, state.size,
+        state.body_type.astype(f)[:, None],
+    ], axis=-1)                                        # (N, 11)
+    cols = jnp.arange(n, dtype=jnp.int32)
+
+    from rl_ode_physics_tpu.ops.compaction import compact_mask
+
+    packed_parts, valid_parts = [], []
+    total_pairs = jnp.zeros((), jnp.int32)
+    pair_overflow = jnp.zeros((), jnp.int32)
+    for (t1, t2), kernel in _enabled_kernels(config).items():
+        cp_b = config.bucket_capacity(t1, t2)
+        k_b = min(_KERNEL_K[(t1, t2)], k_glob)
+        mask_b = hit_flat & (tmin_f == t1) & (tmax_f == t2)
+        idx, bvalid, count, overflow = compact_mask(mask_b, cp_b)
+        total_pairs = total_pairs + count
+        pair_overflow = pair_overflow + overflow
+        ia = jnp.where(bvalid, idx // n, 0)
+        ib = jnp.where(bvalid, idx % n, 0)
+
+        oh_a = (ia[:, None] == cols[None, :]).astype(f)
+        oh_b = (ib[:, None] == cols[None, :]).astype(f)
+        fa = jnp.matmul(oh_a, feats)
+        fb = jnp.matmul(oh_b, feats)
+        points, normals, depths, valid = jax.vmap(
+            lambda *args: collide_pair(*args, k_b, {(t1, t2): kernel})
+        )(
+            fa[:, 0:3], fa[:, 3:7], fa[:, 10].astype(jnp.int32), fa[:, 7:10],
+            fb[:, 0:3], fb[:, 3:7], fb[:, 10].astype(jnp.int32), fb[:, 7:10],
+        )
+        valid = valid & bvalid[:, None]
+
+        slot_k = jnp.tile(jnp.arange(k_b, dtype=jnp.int32), cp_b)
+        keys = ((ia * n + ib).repeat(k_b) * k_glob + slot_k).astype(f)
+        packed_parts.append(jnp.concatenate([
+            points.reshape(cp_b * k_b, 3),
+            normals.reshape(cp_b * k_b, 3),
+            depths.reshape(cp_b * k_b, 1),
+            jnp.repeat(ia, k_b).astype(f)[:, None],
+            jnp.repeat(ib, k_b).astype(f)[:, None],
+            keys[:, None],
+        ], axis=-1))
+        valid_parts.append(valid.reshape(cp_b * k_b))
+
+    packed = jnp.concatenate(packed_parts, axis=0)
+    flat_valid = jnp.concatenate(valid_parts)
+
+    if extra is not None:
+        e_pts, e_nrm, e_dep, e_a, e_b, e_val = extra
+        e_keys = (n * n * k_glob
+                  + jnp.arange(e_a.shape[0], dtype=jnp.int32)).astype(f)
+        packed = jnp.concatenate([packed, jnp.concatenate([
+            e_pts, e_nrm, e_dep[:, None],
+            e_a.astype(f)[:, None], e_b.astype(f)[:, None],
+            e_keys[:, None],
+        ], axis=-1)], axis=0)
+        flat_valid = jnp.concatenate([flat_valid, e_val])
+
+    from rl_ode_physics_tpu.ops.compaction import compact_rows
+
+    rows, cvalid, count, overflow = compact_rows(flat_valid, packed, ccap)
+    return Contacts(
+        point=rows[:, 0:3],
+        normal=rows[:, 3:6],
+        depth=rows[:, 6],
+        a=rows[:, 7].astype(jnp.int32),
+        b=rows[:, 8].astype(jnp.int32),
+        valid=cvalid,
+        count=count,
+        overflow=overflow + pair_overflow,
+        key=jnp.where(cvalid, rows[:, 9].astype(jnp.int32), -1),
+    ), total_pairs
+
+
 def narrowphase(state: WorldState, cand: PairCandidates,
                 config: EngineConfig, extra=None) -> Contacts:
     """Run pair kernels on broadphase candidates; compact into contact rows.
@@ -752,25 +900,36 @@ def narrowphase(state: WorldState, cand: PairCandidates,
     )
     valid = valid & cand.valid[:, None]
 
-    # flatten (CP, K) → (CP*K,), pack, and compact to capacity C via one
-    # top_k + one wide gather
+    # flatten (CP, K) → (CP*K,), pack, and compact to capacity C via
+    # rank-select + one selector matmul (ops/compaction.py)
     cp = ia.shape[0]
     flat_valid = valid.reshape(cp * k)
+    # stable row identity: pair_flat·K + manifold slot (ia < ib always, so
+    # pair_flat = ia·N + ib names the pair across steps); exact in f32 up
+    # to N²K < 2^24
+    slot_k = jnp.tile(jnp.arange(k, dtype=jnp.int32), cp)
+    keys = ((ia * n_slots + ib).repeat(k) * k + slot_k).astype(f)
     packed = jnp.concatenate([
         points.reshape(cp * k, 3),
         normals.reshape(cp * k, 3),
         depths.reshape(cp * k, 1),
         jnp.repeat(ia, k).astype(f)[:, None],
         jnp.repeat(ib, k).astype(f)[:, None],
-    ], axis=-1)                                        # (CP*K, 9)
+        keys[:, None],
+    ], axis=-1)                                        # (CP*K, 10)
 
     if extra is not None:
         # extra manifold source (e.g. trimesh narrowphase): flat arrays
-        # (points, normals, depths, a, b, valid) appended before compaction
+        # (points, normals, depths, a, b, valid) appended before compaction.
+        # Mesh-row identity: offset past the primitive key space, then
+        # (body, per-body slot).
         e_pts, e_nrm, e_dep, e_a, e_b, e_val = extra
+        e_keys = (n_slots * n_slots * k
+                  + jnp.arange(e_a.shape[0], dtype=jnp.int32)).astype(f)
         e_packed = jnp.concatenate([
             e_pts, e_nrm, e_dep[:, None],
             e_a.astype(f)[:, None], e_b.astype(f)[:, None],
+            e_keys[:, None],
         ], axis=-1)
         packed = jnp.concatenate([packed, e_packed], axis=0)
         flat_valid = jnp.concatenate([flat_valid, e_val])
@@ -787,4 +946,5 @@ def narrowphase(state: WorldState, cand: PairCandidates,
         valid=cvalid,
         count=count,
         overflow=overflow,
+        key=jnp.where(cvalid, rows[:, 9].astype(jnp.int32), -1),
     )

@@ -37,7 +37,18 @@ def replicate(state: WorldState, num_worlds: int,
 
 
 def batched_step(batch: WorldState, config: EngineConfig) -> WorldState:
-    """One substep for every world in the batch."""
+    """One substep for every world in the batch.
+
+    ``SolverKind.FUSED`` routes through the Pallas substep megakernel
+    (``ops/megakernel.py``) so the whole batch's solve is ONE kernel launch
+    (vmap-of-step would give the kernel one world per grid step — the
+    round-1 granularity that lost to the jnp path)."""
+    from rl_ode_physics_tpu.core.config import SolverKind
+    from rl_ode_physics_tpu.core.world import _pallas_available
+
+    if config.solver is SolverKind.FUSED and _pallas_available():
+        from rl_ode_physics_tpu.ops import megakernel
+        return megakernel.fused_step_batched(batch, config)
     return jax.vmap(lambda s: step(s, config))(batch)
 
 
