@@ -37,7 +37,11 @@ def _config_meta(config: EngineConfig) -> str:
 def _config_from_meta(blob: str) -> EngineConfig:
     d = json.loads(blob)
     d["solver"] = SolverKind(d["solver"])
-    d["gravity"] = tuple(d["gravity"])
+    # JSON turns tuples into lists; restore every tuple-typed field so the
+    # frozen config compares (and hashes) equal to the original.
+    for k, v in list(d.items()):
+        if isinstance(v, list):
+            d[k] = tuple(tuple(e) if isinstance(e, list) else e for e in v)
     return EngineConfig(**d)
 
 
