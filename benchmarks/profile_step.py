@@ -36,7 +36,7 @@ def main(num_worlds: int = 2048, substeps: int = 8):
 
     solver = SolverKind[os.environ.get("BENCH_SOLVER", "jacobi").upper()]
     cfg = EngineConfig(max_bodies=64, max_pair_candidates=256,
-                       max_contacts=192, max_contacts_per_pair=4,
+                       max_contacts=128, max_contacts_per_pair=4,
                        solver=solver,
                        enable_capsules=False, enable_planes=False)
     w = scenes.bench_world(cfg, num_bodies=60)
@@ -78,13 +78,21 @@ def main(num_worlds: int = 2048, substeps: int = 8):
     print(f"device total: {total / substeps / 1e3:.2f} ms/substep "
           f"@{num_worlds} worlds")
     print(f"{'ms/substep':>10}  {'calls':>5}  {'op':<38} source")
-    for name, d in durs.most_common(20):
+    by_file = collections.Counter()
+    srcs = {}
+    for name in durs:
         m = re.search(
             rf'%{re.escape(name)} = \S+ [a-z-]+\(.*?source_file="([^"]*)" '
             rf'source_line=(\d+)', hlo)
-        src = (m.group(1).split("/")[-1] + ":" + m.group(2)) if m else "?"
+        srcs[name] = (m.group(1).split("/")[-1] + ":" + m.group(2)) if m \
+            else "?"
+        by_file[srcs[name].split(":")[0]] += durs[name]
+    for name, d in durs.most_common(60):
         print(f"{d / substeps / 1e3:10.3f}  {counts[name]:5d}  "
-              f"{name[:38]:<38} {src}")
+              f"{name[:38]:<38} {srcs[name]}")
+    print("\nper-file totals (unattributed ops under '?'):")
+    for fname, d in by_file.most_common():
+        print(f"{d / substeps / 1e3:10.3f}  {fname}")
 
 
 if __name__ == "__main__":

@@ -65,6 +65,11 @@ class EngineConfig:
     solver_iterations: int = 20      # ODE QuickStep default
     sor_omega: float = 1.3           # ODE QuickStep default SOR relaxation
     jacobi_omega: float = 1.0        # Jacobi under-relaxation (mass-split scaled)
+    # heavy-ball momentum on the projected Jacobi iterate (0 = plain Jacobi,
+    # the ODE-parity default). Opt-in throughput knob: a beta in ~[0.3, 0.5]
+    # reaches plain-Jacobi-at-20-iterations solution quality in fewer
+    # sweeps (measured by benchmarks/solver_convergence.py).
+    jacobi_beta: float = 0.0
     erp: float = 0.2                 # ODE default (never overridden by ref)
     cfm: float = 1e-5                # ODE dSINGLE default
     max_correcting_vel: float = 1e30  # ODE dWorldSetContactMaxCorrectingVel default (inf)

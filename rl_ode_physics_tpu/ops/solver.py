@@ -309,33 +309,27 @@ def _half_row_selector(state: WorldState, contacts: Contacts):
     return s, kappa
 
 
-def solve_jacobi(state: WorldState, contacts: Contacts,
-                 config: EngineConfig, lam0=None, return_lam: bool = False):
-    """Batched projected Jacobi with mass splitting — the throughput solver.
+def pack_solver_inputs(state: WorldState, contacts: Contacts,
+                       config: EngineConfig):
+    """Once-per-substep packed solver constants (shared by the jnp Jacobi
+    loop, the VMEM Pallas kernel, and the FUSED megakernel):
 
-    Every iteration is a fully parallel, *gather-only* pass:
+      s_mat   (2C, N): one-hot half-row selector (a-rows ‖ b-rows)
+      rowdata (C, 32): n t1 t2 | r×n per side/axis | d_n d_t1 d_t2
+                       (mass-split, CFM-softened) | target | live
+      halfop  (2C, 16): impulse→Δv angular operator (row-major 9) |
+                        signed inverse-mass scale | pad
+      vel     (N, 8):  linvel ‖ angvel ‖ pad
 
-    1. gather both bodies' velocities per contact row,
-    2. compute clamped impulse deltas for the normal + two friction axes
-       from the same velocity iterate (block-Jacobi across axes),
-    3. form per-half-row 6-DoF velocity contributions (C a-sides ‖ C
-       b-sides),
-    4. accumulate them into bodies through the fixed-degree incidence table
-       (gather + masked sum — no scatter anywhere in the loop).
-
-    Mass splitting (inverse masses scaled by each body's contact count κ)
-    keeps the parallel update non-overshooting; ``jacobi_omega`` adds
-    under-relaxation. Fixed iteration count, no data-dependent shapes →
-    bitwise deterministic (SURVEY.md §2d).
+    Packing everything into a few wide 2-D buffers keeps the iteration
+    loop's working set free of (…, 3, 3) carries, which XLA copies per
+    iteration and tile-pads up to ~113× (docs/BENCHMARKS.md layout rules).
     """
-    a, b = contacts.a, contacts.b
-    live = contacts.valid
-    c = a.shape[0]
     f = state.linvel.dtype
+    c = contacts.a.shape[0]
 
     s_mat, kappa = _half_row_selector(state, contacts)
     gathered = _gather_body_features(state, s_mat, kappa)
-
     # split masses: each contact sees its bodies' inverse mass scaled by the
     # per-pair max count (conservative, guarantees no overshoot on gather-sum)
     split = jnp.maximum(gathered["kappa_a"], gathered["kappa_b"])
@@ -349,8 +343,16 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
 
     r_a, r_b = rows["r_a"], rows["r_b"]
     n_ax, t1_ax, t2_ax = rows["n"], rows["t1"], rows["t2"]
-    omega = jnp.asarray(config.jacobi_omega, f)
-    mu_inf = math.isinf(config.mu)
+
+    rowdata = jnp.concatenate([
+        n_ax, t1_ax, t2_ax,
+        jnp.cross(r_a, n_ax), jnp.cross(r_b, n_ax),
+        jnp.cross(r_a, t1_ax), jnp.cross(r_b, t1_ax),
+        jnp.cross(r_a, t2_ax), jnp.cross(r_b, t2_ax),
+        d_n[:, None], d_t1[:, None], d_t2[:, None],
+        rows["target"][:, None],
+        contacts.valid.astype(f)[:, None],
+    ], axis=-1)                                        # (C, 32)
 
     # constant per-half-row impulse→Δv operators, computed once:
     #   Δlin = ±inv_m·imp ;  Δang = invI·(r × ±imp) = ±(invI·[r]×)·imp
@@ -362,47 +364,118 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
             jnp.stack([-r[..., 1], r[..., 0], zero], -1),
         ], -2)
 
-    def matmul3(m, v):          # (...,3,3) @ (...,3) on the VPU
-        return jnp.sum(m * v[..., None, :], axis=-1)
-
     def mm3(a, b):   # (C,3,3)@(C,3,3) as broadcast-sum (VPU, not conv)
         return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
 
     ang_op_a = -mm3(gathered["inv_i_a"], cross_mat(r_a))   # (C, 3, 3)
     ang_op_b = mm3(gathered["inv_i_b"], cross_mat(r_b))
-    lin_sc_a = -gathered["inv_m_a"][:, None]             # (C, 1)
-    lin_sc_b = gathered["inv_m_b"][:, None]
+    ang_op = jnp.concatenate([ang_op_a, ang_op_b], 0).reshape(2 * c, 9)
+    lin_sc = jnp.concatenate(
+        [-gathered["inv_m_a"], gathered["inv_m_b"]])[:, None]
+    halfop = jnp.concatenate(
+        [ang_op, lin_sc, jnp.zeros((2 * c, 6), f)], axis=-1)   # (2C, 16)
 
-    # stack half-row operators: (2C, 1) and (2C, 3, 3)
-    lin_sc = jnp.concatenate([lin_sc_a, lin_sc_b], axis=0)
-    ang_op = jnp.concatenate([ang_op_a, ang_op_b], axis=0)
+    vel = jnp.concatenate(
+        [state.linvel, state.angvel,
+         jnp.zeros(state.linvel.shape[:-1] + (2,), f)], axis=-1)  # (N, 8)
+    return s_mat, rowdata, halfop, vel
 
-    rxn_a_n, rxn_b_n = jnp.cross(r_a, n_ax), jnp.cross(r_b, n_ax)
-    rxn_a_1, rxn_b_1 = jnp.cross(r_a, t1_ax), jnp.cross(r_b, t1_ax)
-    rxn_a_2, rxn_b_2 = jnp.cross(r_a, t2_ax), jnp.cross(r_b, t2_ax)
+
+def solve_jacobi(state: WorldState, contacts: Contacts,
+                 config: EngineConfig, lam0=None, return_lam: bool = False):
+    """Batched projected Jacobi with mass splitting — the throughput solver.
+
+    Every iteration is a fully parallel, *gather-only* pass:
+
+    1. gather both bodies' velocities per contact row (one MXU matmul),
+    2. compute clamped impulse deltas for the normal + two friction axes
+       from the same velocity iterate (block-Jacobi across axes),
+    3. form per-half-row 6-DoF velocity contributions (C a-sides ‖ C
+       b-sides),
+    4. accumulate them into bodies with one MXU scatter matmul — no
+       hot-loop scatters/gathers anywhere.
+
+    Mass splitting (inverse masses scaled by each body's contact count κ)
+    keeps the parallel update non-overshooting; ``jacobi_omega`` adds
+    under-relaxation. Fixed iteration count, no data-dependent shapes →
+    bitwise deterministic (SURVEY.md §2d).
+
+    The loop works exclusively on the packed 2-D buffers of
+    ``pack_solver_inputs`` — the same layout the Pallas kernels consume —
+    so the iteration carries no (…, 3)/(…, 3, 3)-minor arrays (measured:
+    the previous structure spent ~1 ms/substep @2048 worlds copying the
+    (2C, 3, 3) angular operator every iteration).
+    """
+    live_v = contacts.valid
+    c = contacts.a.shape[0]
+    f = state.linvel.dtype
+
+    s_mat, rows, hop, vel0 = pack_solver_inputs(state, contacts, config)
+
+    n_ax, t1_ax, t2_ax = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    rxa_n, rxb_n = rows[:, 9:12], rows[:, 12:15]
+    rxa_1, rxb_1 = rows[:, 15:18], rows[:, 18:21]
+    rxa_2, rxb_2 = rows[:, 21:24], rows[:, 24:27]
+    d_n, d_t1, d_t2 = rows[:, 27:28], rows[:, 28:29], rows[:, 29:30]
+    target = rows[:, 30:31]
+    live = rows[:, 31:32] > 0.5
+    h = hop[:, 0:9]
+    lin_sc = hop[:, 9:10]
+
+    omega = jnp.asarray(config.jacobi_omega, f)
+    cfm_term = config.cfm / config.dt
+    mu_inf = math.isinf(config.mu)
 
     mm_dtype = jnp.dtype(config.solver_matmul_dtype)
     s_mm = s_mat.astype(mm_dtype)
     s_mm_t = s_mm.T
+    def scatter(imp):
+        """(C, 3) impulse → (N, 8) Δvel: per-half-row contributions via the
+        packed 9-plane angular operator (no (…,3,3) tensors), then one MXU
+        scatter matmul. (A split-halves two-matmul variant measured 1.5×
+        SLOWER end-to-end — XLA fused the halves pathologically.)"""
+        imp_h = jnp.concatenate([imp, imp], axis=0)           # (2C, 3)
+        ix, iy, iz = imp_h[:, 0:1], imp_h[:, 1:2], imp_h[:, 2:3]
+        angx = h[:, 0:1] * ix + h[:, 1:2] * iy + h[:, 2:3] * iz
+        angy = h[:, 3:4] * ix + h[:, 4:5] * iy + h[:, 5:6] * iz
+        angz = h[:, 6:7] * ix + h[:, 7:8] * iy + h[:, 8:9] * iz
+        contrib = jnp.concatenate(
+            [lin_sc * imp_h, angx, angy, angz,
+             jnp.zeros_like(imp_h[:, 0:2])], axis=-1)         # (2C, 8)
+        return jnp.matmul(s_mm_t, contrib.astype(mm_dtype),
+                          preferred_element_type=f)           # (N, 8)
+
+    beta = float(config.jacobi_beta)
+    momentum = beta != 0.0
 
     def one_iter(_, carry):
-        vel6, lam_n, lam_t1, lam_t2 = carry               # vel6 (N, 6)
+        if momentum:
+            # heavy-ball: extrapolate with the previous accepted step before
+            # projecting (projected heavy-ball / Polyak momentum)
+            vel, lam_n, lam_t1, lam_t2, pn, p1, p2 = carry
+            mom_n, mom_1, mom_2 = (beta * (lam_n - pn), beta * (lam_t1 - p1),
+                                   beta * (lam_t2 - p2))
+            pn, p1, p2 = lam_n, lam_t1, lam_t2
+        else:
+            vel, lam_n, lam_t1, lam_t2 = carry            # vel (N, 8)
+            mom_n = mom_1 = mom_2 = 0.0
 
         # one MXU gather for both bodies of every contact
-        vh = jnp.matmul(s_mm, vel6.astype(mm_dtype),
-                        preferred_element_type=f)          # (2C, 6)
-        lin_a, ang_a = vh[:c, :3], vh[:c, 3:]
-        lin_b, ang_b = vh[c:, :3], vh[c:, 3:]
+        vh = jnp.matmul(s_mm, vel.astype(mm_dtype),
+                        preferred_element_type=f)          # (2C, 8)
+        lin_a, ang_a = vh[:c, 0:3], vh[:c, 3:6]
+        lin_b, ang_b = vh[c:, 0:3], vh[c:, 3:6]
         dlin = lin_b - lin_a
 
         def rel(axis, rxa, rxb):
-            return (jnp.sum(dlin * axis, -1)
-                    + jnp.sum(ang_b * rxb, -1) - jnp.sum(ang_a * rxa, -1))
+            return (jnp.sum(dlin * axis, -1, keepdims=True)
+                    + jnp.sum(ang_b * rxb, -1, keepdims=True)
+                    - jnp.sum(ang_a * rxa, -1, keepdims=True))   # (C, 1)
 
         # residuals include ODE's CFM softening term −cfm/h·λ (QuickStep
         # converges to the regularized system (A + cfm/h·I)λ = rhs)
-        dl_n = omega * (rows["target"] - rel(n_ax, rxn_a_n, rxn_b_n)
-                        - cfm_term * lam_n) / d_n
+        dl_n = omega * (target - rel(n_ax, rxa_n, rxb_n)
+                        - cfm_term * lam_n) / d_n + mom_n
         new_n = jnp.maximum(lam_n + dl_n, 0.0)
         dl_n = jnp.where(live, new_n - lam_n, 0.0)
         lam_n = lam_n + dl_n
@@ -410,54 +483,47 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
         if config.friction:
             bound = (jnp.full_like(lam_n, jnp.inf) if mu_inf
                      else config.mu * lam_n)
-            dl_1 = omega * (-rel(t1_ax, rxn_a_1, rxn_b_1)
-                            - cfm_term * lam_t1) / d_t1
+            dl_1 = omega * (-rel(t1_ax, rxa_1, rxb_1)
+                            - cfm_term * lam_t1) / d_t1 + mom_1
             new_1 = jnp.clip(lam_t1 + dl_1, -bound, bound)
             dl_1 = jnp.where(live, new_1 - lam_t1, 0.0)
             lam_t1 = lam_t1 + dl_1
 
-            dl_2 = omega * (-rel(t2_ax, rxn_a_2, rxn_b_2)
-                            - cfm_term * lam_t2) / d_t2
+            dl_2 = omega * (-rel(t2_ax, rxa_2, rxb_2)
+                            - cfm_term * lam_t2) / d_t2 + mom_2
             new_2 = jnp.clip(lam_t2 + dl_2, -bound, bound)
             dl_2 = jnp.where(live, new_2 - lam_t2, 0.0)
             lam_t2 = lam_t2 + dl_2
-            imp = (n_ax * dl_n[:, None] + t1_ax * dl_1[:, None]
-                   + t2_ax * dl_2[:, None])              # (C, 3)
+            imp = n_ax * dl_n + t1_ax * dl_1 + t2_ax * dl_2   # (C, 3)
         else:
-            imp = n_ax * dl_n[:, None]
+            imp = n_ax * dl_n
 
-        imp_h = jnp.concatenate([imp, imp], axis=0)      # (2C, 3)
-        contrib = jnp.concatenate(
-            [lin_sc * imp_h, matmul3(ang_op, imp_h)], axis=-1
-        )                                                 # (2C, 6)
-        # one MXU scatter-add back into the bodies
-        dv = jnp.matmul(s_mm_t, contrib.astype(mm_dtype),
-                        preferred_element_type=f)        # (N, 6)
-        return vel6 + dv, lam_n, lam_t1, lam_t2
+        # MXU scatter-add back into the bodies
+        vel = vel + scatter(imp)
+        if momentum:
+            return vel, lam_n, lam_t1, lam_t2, pn, p1, p2
+        return vel, lam_n, lam_t1, lam_t2
 
-    zero = jnp.zeros((c,), f)
-    vel0 = jnp.concatenate([state.linvel, state.angvel], -1)
+    zero = jnp.zeros((c, 1), f)
     if lam0 is None:
         l_n = l_1 = l_2 = zero
     else:
         # warm start: apply cached impulses via the same contrib machinery
-        l_n = jnp.where(live, lam0[:, 0], 0.0)
-        l_1 = jnp.where(live, lam0[:, 1], 0.0)
-        l_2 = jnp.where(live, lam0[:, 2], 0.0)
-        imp0 = (n_ax * l_n[:, None] + t1_ax * l_1[:, None]
-                + t2_ax * l_2[:, None])
-        imp0_h = jnp.concatenate([imp0, imp0], axis=0)
-        contrib0 = jnp.concatenate(
-            [lin_sc * imp0_h, matmul3(ang_op, imp0_h)], axis=-1)
-        vel0 = vel0 + jnp.matmul(s_mm_t, contrib0.astype(mm_dtype),
-                                 preferred_element_type=f)
+        l_n = jnp.where(live_v, lam0[:, 0], 0.0)[:, None]
+        l_1 = jnp.where(live_v, lam0[:, 1], 0.0)[:, None]
+        l_2 = jnp.where(live_v, lam0[:, 2], 0.0)[:, None]
+        imp0 = n_ax * l_n + t1_ax * l_1 + t2_ax * l_2
+        vel0 = vel0 + scatter(imp0)
     carry = (vel0, l_n, l_1, l_2)
-    vel6, lam_n, lam_t1, lam_t2 = jax.lax.fori_loop(
+    if momentum:
+        carry = carry + (l_n, l_1, l_2)
+    out_carry = jax.lax.fori_loop(
         0, config.solver_iterations, one_iter, carry
     )
-    out = state.replace(linvel=vel6[:, :3], angvel=vel6[:, 3:])
+    vel8, lam_n, lam_t1, lam_t2 = out_carry[:4]
+    out = state.replace(linvel=vel8[:, 0:3], angvel=vel8[:, 3:6])
     if return_lam:
-        return out, jnp.stack([lam_n, lam_t1, lam_t2], axis=-1)
+        return out, jnp.concatenate([lam_n, lam_t1, lam_t2], axis=-1)
     return out
 
 

@@ -52,59 +52,10 @@ except Exception:  # pragma: no cover
 
 def _pack_inputs(state: WorldState, contacts: Contacts,
                  config: EngineConfig):
-    """Per-world solver constants, packed for the kernel (pure jnp; this is
-    the once-per-substep precompute shared with the jnp solver)."""
-    a, b = contacts.a, contacts.b
-    f = state.linvel.dtype
-    c = a.shape[0]
-
-    s_mat, kappa = sol._half_row_selector(state, contacts)
-    gathered = sol._gather_body_features(state, s_mat, kappa)
-    split = jnp.maximum(gathered["kappa_a"], gathered["kappa_b"])
-
-    rows = sol._row_data(state, contacts, config, gathered)
-    cfm_term = config.cfm / config.dt
-    d_n = (rows["d_n"] - cfm_term) * split + cfm_term
-    d_t1 = (rows["d_t1"] - cfm_term) * split + cfm_term
-    d_t2 = (rows["d_t2"] - cfm_term) * split + cfm_term
-
-    r_a, r_b = rows["r_a"], rows["r_b"]
-    n_ax, t1_ax, t2_ax = rows["n"], rows["t1"], rows["t2"]
-
-    rowdata = jnp.concatenate([
-        n_ax, t1_ax, t2_ax,
-        jnp.cross(r_a, n_ax), jnp.cross(r_b, n_ax),
-        jnp.cross(r_a, t1_ax), jnp.cross(r_b, t1_ax),
-        jnp.cross(r_a, t2_ax), jnp.cross(r_b, t2_ax),
-        d_n[:, None], d_t1[:, None], d_t2[:, None],
-        rows["target"][:, None],
-        contacts.valid.astype(f)[:, None],
-    ], axis=-1)                                        # (C, 32)
-
-
-    def cross_mat(r):
-        zero = jnp.zeros_like(r[..., 0])
-        return jnp.stack([
-            jnp.stack([zero, -r[..., 2], r[..., 1]], -1),
-            jnp.stack([r[..., 2], zero, -r[..., 0]], -1),
-            jnp.stack([-r[..., 1], r[..., 0], zero], -1),
-        ], -2)
-
-    def mm3(a, b):
-        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
-
-    ang_op_a = -mm3(gathered["inv_i_a"], cross_mat(r_a))   # (C, 3, 3)
-    ang_op_b = mm3(gathered["inv_i_b"], cross_mat(r_b))
-    ang_op = jnp.concatenate([ang_op_a, ang_op_b], 0).reshape(2 * c, 9)
-    lin_sc = jnp.concatenate(
-        [-gathered["inv_m_a"], gathered["inv_m_b"]])[:, None]
-    halfop = jnp.concatenate(
-        [ang_op, lin_sc, jnp.zeros((2 * c, 6), f)], axis=-1)   # (2C, 16)
-
-    vel = jnp.concatenate(
-        [state.linvel, state.angvel,
-         jnp.zeros(state.linvel.shape[:-1] + (2,), f)], axis=-1)  # (N, 8)
-    return s_mat, rowdata, halfop, vel
+    """Per-world solver constants, packed for the kernel — the shared
+    once-per-substep precompute (``ops.solver.pack_solver_inputs``, also
+    consumed by the jnp Jacobi loop and the FUSED megakernel)."""
+    return sol.pack_solver_inputs(state, contacts, config)
 
 
 def _kernel_factory(c: int, iterations: int, omega: float, mu: float,
