@@ -65,6 +65,12 @@ def main():
         # inc/body.h:14-18): prune unused pair kernels from the program
         enable_capsules=False,
         enable_planes=False,
+        # typed-bucket narrowphase: each pair type runs ONLY its kernel at
+        # its intrinsic manifold size. Caps carry >=28% headroom over the
+        # measured per-bucket peaks across seeds {42,7,123,999} (ss 75,
+        # sb 74, bb 30) with overflow counters zero through settling.
+        typed_buckets=os.environ.get("BENCH_TYPED", "1") != "0",
+        bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
     )
     world = scenes.bench_world(config, num_bodies=num_bodies - 4)
     batch = replicate(world, num_worlds)

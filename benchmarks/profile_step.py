@@ -38,6 +38,11 @@ def main(num_worlds: int = 2048, substeps: int = 8):
     cfg = EngineConfig(max_bodies=64, max_pair_candidates=256,
                        max_contacts=128, max_contacts_per_pair=4,
                        solver=solver,
+                       solver_iterations=int(os.environ.get("BENCH_ITERS", 10)),
+                       jacobi_omega=float(os.environ.get("BENCH_OMEGA", 1.2)),
+                       jacobi_beta=float(os.environ.get("BENCH_BETA", 0.9)),
+                       typed_buckets=os.environ.get("BENCH_TYPED", "0") != "0",
+                       bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
                        enable_capsules=False, enable_planes=False)
     w = scenes.bench_world(cfg, num_bodies=60)
     batch = replicate(w, num_worlds)
