@@ -1,0 +1,155 @@
+"""Exact box/capsule-vs-trimesh narrowphase (VERDICT round-1 item 4).
+
+Acceptance (judge-specified): a box resting flat on a coarse mesh floor
+must reproduce the primitive box-plane support polygon — 4 corner
+contacts with EQUAL depths — plus an edge-overhang case; capsules get
+exact segment-triangle distances (no probe-sphere margins).
+
+Reference anchor: ODE's dCollideBoxTriangle / dCollideCapsuleTriangle
+feature classes (face/vertex/edge); fixture scale per SURVEY.md §2c.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rl_ode_physics_tpu.core.config import EngineConfig
+from rl_ode_physics_tpu.core.state import BodyType
+from rl_ode_physics_tpu.core.world import make_step_fn
+from rl_ode_physics_tpu.models.builder import WorldBuilder
+from rl_ode_physics_tpu.ops import trimesh as tm
+
+from tests.test_trimesh import grid_floor_mesh
+
+CFG = EngineConfig(max_bodies=8, max_pair_candidates=32, max_contacts=64)
+
+
+def _mesh_world(mesh_slot_body=True, extra=None):
+    b = WorldBuilder(CFG, 0)
+    slot = b.add_body_map((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
+    b.body_type[slot] = int(BodyType.TRIMESH)
+    return b, slot
+
+
+def _contacts_for(world, mesh):
+    pts, nrm, dep, a, bb, val = tm.mesh_narrowphase(world, mesh, CFG)
+    val = np.asarray(val)
+    return (np.asarray(pts)[val], np.asarray(nrm)[val],
+            np.asarray(dep)[val], np.asarray(a)[val])
+
+
+def test_box_flat_rest_support_polygon():
+    """Box sunk 0.01 into a coarse two-cell floor: the manifold must be 4
+    distinct corner contacts with equal depths and -y normals (the
+    box-plane support polygon), not probe-margin artifacts."""
+    verts, tris = grid_floor_mesh(n=2, size=12.0, y=0.0)   # 6x6 m cells
+    mesh = tm.build_trimesh(verts, tris, slot=0)
+    delta = 0.01
+    b, slot = _mesh_world()
+    b.add_body(BodyType.BOX, (0.3, 0.4 - delta, 0.2), (0.8, 0.8, 0.8))
+    w = b.finish()
+
+    pts, nrm, dep, a = _contacts_for(w, mesh)
+    assert len(dep) == 4, f"expected 4 corner contacts, got {len(dep)}"
+    np.testing.assert_allclose(dep, delta, atol=1e-5)
+    np.testing.assert_allclose(nrm, [[0.0, -1.0, 0.0]] * 4, atol=1e-5)
+    # the 4 points are the 4 bottom corners: x in {−0.1, 0.7}, z in {−0.2, 0.6}
+    xs = np.sort(np.unique(np.round(pts[:, 0], 4)))
+    zs = np.sort(np.unique(np.round(pts[:, 2], 4)))
+    np.testing.assert_allclose(xs, [-0.1, 0.7], atol=1e-4)
+    np.testing.assert_allclose(zs, [-0.2, 0.6], atol=1e-4)
+    np.testing.assert_allclose(pts[:, 1], -delta, atol=1e-5)
+
+
+def test_box_edge_overhang():
+    """Box straddling the boundary edge of the mesh floor: contacts come
+    from the mesh boundary features under the box (vertex-in-box/edge-clip
+    classes), all on the mesh side, equal depths."""
+    verts, tris = grid_floor_mesh(n=2, size=8.0, y=0.0)    # floor spans |x|<=4
+    mesh = tm.build_trimesh(verts, tris, slot=0)
+    delta = 0.01
+    b, slot = _mesh_world()
+    # center beyond the floor edge x=4: only part of the box is supported
+    b.add_body(BodyType.BOX, (4.0 + 0.2, 0.4 - delta, 0.0), (0.8, 0.8, 0.8))
+    w = b.finish()
+
+    pts, nrm, dep, a = _contacts_for(w, mesh)
+    assert len(dep) >= 2, "edge overhang must still find boundary contacts"
+    # all contact points lie on the mesh (x <= 4 + eps), between the box
+    # bottom and the floor surface (corner-class points sit on the corner,
+    # vertex/edge-class points on the mesh feature)
+    assert np.all(pts[:, 0] <= 4.0 + 1e-4)
+    assert np.all(pts[:, 1] >= -delta - 1e-4)
+    assert np.all(pts[:, 1] <= 1e-4)
+    np.testing.assert_allclose(dep, delta, atol=1e-4)
+    # support exists at the boundary edge x=4 under the box
+    assert np.any(pts[:, 0] > 4.0 - 1e-3)
+
+
+def test_box_rest_height_exact():
+    """End-to-end: box settles at exactly half-height on the mesh floor
+    (the old probe-margin path rested ±margin high)."""
+    verts, tris = grid_floor_mesh(n=8, size=10.0, y=0.0)
+    b, slot = _mesh_world()
+    b.add_body(BodyType.BOX, (0.0, 1.0, 0.0), (0.8, 0.8, 0.8))
+    w = b.finish()
+    mesh = tm.build_trimesh(verts, tris, slot=slot)
+    stepf = make_step_fn(CFG, substeps=12, donate=False, trimesh=mesh)
+    for _ in range(40):
+        w = stepf(w)
+    assert abs(float(w.pos[1, 1]) - 0.4) < 0.01
+    assert abs(float(w.linvel[1, 1])) < 0.02
+
+
+def test_capsule_exact_depth_lying():
+    """Capsule lying parallel to the floor, sunk by delta: contact depth
+    must equal delta exactly (segment-triangle distance, no sampling)."""
+    verts, tris = grid_floor_mesh(n=2, size=12.0, y=0.0)
+    mesh = tm.build_trimesh(verts, tris, slot=0)
+    delta = 0.02
+    r, hl = 0.5, 1.0
+    b, slot = _mesh_world()
+    # capsule local axis is +z; identity orientation = lying along world z
+    b.add_body(BodyType.CAPSULE, (0.3, r - delta, 0.4), (r, 2 * hl, 0.0))
+    w = b.finish()
+
+    pts, nrm, dep, a = _contacts_for(w, mesh)
+    assert len(dep) >= 1
+    np.testing.assert_allclose(dep, delta, atol=1e-5)
+    np.testing.assert_allclose(nrm[:, 1], -1.0, atol=1e-5)
+    np.testing.assert_allclose(pts[:, 1], 0.0, atol=1e-5)
+    # contact points lie under the core segment span
+    assert np.all(np.abs(pts[:, 2] - 0.4) <= hl + 1e-5)
+
+
+def test_capsule_endcap_on_vertex():
+    """Capsule standing on a mesh vertex region: depth = r - distance to
+    the nearest triangle feature, via the endpoint-face closest feature."""
+    verts, tris = grid_floor_mesh(n=2, size=12.0, y=0.0)
+    mesh = tm.build_trimesh(verts, tris, slot=0)
+    r, hl = 0.4, 0.8
+    delta = 0.03
+    b, slot = _mesh_world()
+    # standing upright: local z = world z → rotate 90° about x
+    q = (np.sqrt(0.5), np.sqrt(0.5), 0.0, 0.0)   # z→y
+    bslot = b.add_body(BodyType.CAPSULE, (0.0, hl + r - delta, 0.0),
+                       (r, 2 * hl, 0.0))
+    w = b.finish()
+    w = w.replace(quat=w.quat.at[bslot].set(jnp.asarray(q, jnp.float32)))
+
+    pts, nrm, dep, a = _contacts_for(w, mesh)
+    assert len(dep) >= 1
+    np.testing.assert_allclose(dep[0], delta, atol=1e-5)
+
+
+def test_sphere_path_unchanged_by_rewrite():
+    """The exact pipeline reproduces the sphere contact the old path gave."""
+    verts, tris = grid_floor_mesh(n=4, size=8.0, y=0.0)
+    mesh = tm.build_trimesh(verts, tris, slot=0)
+    b, slot = _mesh_world()
+    b.add_body(BodyType.SPHERE, (0.3, 0.4, 0.2), (0.5, 0.0, 0.0))
+    w = b.finish()
+    pts, nrm, dep, a = _contacts_for(w, mesh)
+    assert len(dep) >= 1
+    np.testing.assert_allclose(dep[0], 0.1, atol=1e-5)
+    np.testing.assert_allclose(nrm[0], [0, -1, 0], atol=1e-5)
