@@ -60,5 +60,22 @@ __all__ = [
     "step",
     "step_with_diagnostics",
     "make_step_fn",
+    "JointSet",
+    "empty_joints",
+    "add_ball",
+    "add_hinge",
+    "set_hinge_limits",
+    "set_hinge_motor",
+    "hinge_angle",
     "__version__",
 ]
+
+from rl_ode_physics_tpu.ops.joints import (   # noqa: E402
+    JointSet,
+    empty_joints,
+    add_ball,
+    add_hinge,
+    set_hinge_limits,
+    set_hinge_motor,
+    hinge_angle,
+)

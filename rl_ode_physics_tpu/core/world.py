@@ -221,7 +221,7 @@ def _pallas_available() -> bool:
 
 
 def step(state: WorldState, config: EngineConfig, trimesh=None,
-         use_pallas=None) -> WorldState:
+         use_pallas=None, joints=None) -> WorldState:
     """One fixed 120 Hz substep (``src/main.c:212-214`` pipeline).
 
     collide-then-step like ODE: contacts are generated from current
@@ -231,17 +231,20 @@ def step(state: WorldState, config: EngineConfig, trimesh=None,
     ``dJointGroupEmpty`` every substep.
 
     ``trimesh``: optional static ``ops.trimesh.TriMesh`` (e.g. the teapot);
-    its contacts merge into the same solver buffer.
+    its contacts merge into the same solver buffer. ``joints``: optional
+    ``ops.joints.JointSet`` of bilateral (ball/hinge) constraints solved
+    interleaved with the contact rows (beyond-parity capability — the
+    reference uses contact joints only).
     """
     import contextlib
     prec = (jax.default_matmul_precision(config.matmul_precision)
             if config.matmul_precision != "default" else contextlib.nullcontext())
     with prec:
-        return _step_impl(state, config, trimesh, use_pallas)
+        return _step_impl(state, config, trimesh, use_pallas, joints=joints)
 
 
 def _step_impl(state: WorldState, config: EngineConfig, trimesh,
-               use_pallas, with_metrics: bool = False):
+               use_pallas, with_metrics: bool = False, joints=None):
     if config.dense_pipeline and trimesh is None:
         from rl_ode_physics_tpu.ops import dense
         manifold = dense.dense_narrowphase(state, config)
@@ -262,7 +265,7 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
         )
 
     if (config.solver is SolverKind.FUSED and trimesh is None
-            and _pallas_available()):
+            and joints is None and _pallas_available()):
         from rl_ode_physics_tpu.ops import megakernel
         return megakernel.fused_step(state, config, with_metrics=with_metrics)
     # FUSED off-TPU or with a trimesh attached falls through to the regular
@@ -282,8 +285,12 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
         cand = bp.broadphase(state, config)
         contacts = np_ops.narrowphase(state, cand, config, extra)
         num_pairs, pair_overflow = cand.count, cand.overflow
+    joints_rows = None
+    if joints is not None:
+        from rl_ode_physics_tpu.ops.joints import joint_rows
+        joints_rows = joint_rows(state, joints, config)
     state = integrator.apply_external_forces(state, config)
-    state = solver_ops.solve(state, contacts, config)
+    state = solver_ops.solve(state, contacts, config, joints_rows)
     state = integrator.integrate_positions(state, config)
     if not with_metrics:
         return state
@@ -328,7 +335,7 @@ def step_with_diagnostics(state: WorldState, config: EngineConfig,
 
 
 def make_step_fn(config: EngineConfig, substeps: int = 1, donate: bool = True,
-                 trimesh=None, use_pallas=None):
+                 trimesh=None, use_pallas=None, joints=None):
     """Compile a (possibly multi-substep) step: state → state.
 
     ``substeps > 1`` rolls the fixed-dt substep loop into the compiled
@@ -338,15 +345,15 @@ def make_step_fn(config: EngineConfig, substeps: int = 1, donate: bool = True,
     so the world state updates in place in HBM. ``trimesh`` (a static
     ``TriMesh``) is baked into the compiled program as constants.
     """
-    if trimesh is None:
+    if trimesh is None and joints is None:
         # hashable args → share compilations across callers
         return _make_step_fn_cached(config, substeps, donate)
 
     def fn(state: WorldState) -> WorldState:
         if substeps == 1:
-            return step(state, config, trimesh, use_pallas)
+            return step(state, config, trimesh, use_pallas, joints)
         def body(s, _):
-            return step(s, config, trimesh, use_pallas), None
+            return step(s, config, trimesh, use_pallas, joints), None
         state, _ = jax.lax.scan(body, state, None, length=substeps)
         return state
 

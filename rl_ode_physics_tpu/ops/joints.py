@@ -1,0 +1,336 @@
+"""Bilateral joints (ball-and-socket, hinge) as unclamped solver rows.
+
+Beyond-parity capability (docs/ROADMAP.md §4): the reference game uses only
+contact joints (``dJointCreateContact``, /root/reference/src/main.c:682),
+but the ODE engine it links exposes bilateral joints as a core feature —
+a user switching from an ODE-based stack expects them. This module extends
+the impulse-space solver with ODE-style bilateral constraint rows:
+
+* BALL  — 3 rows: the world-frame relative velocity of the two anchor
+  points is driven to the ERP-scaled anchor separation (dJointCreateBall).
+* HINGE — the 3 ball rows + 2 angular rows keeping the relative angular
+  velocity perpendicular to the hinge axis zero, with an ERP bias on the
+  axis misalignment (dJointCreateHinge, without limits/motors for now).
+
+Rows are solved interleaved with the contact sweep, one unclamped
+projected-Jacobi (or PGS) update per solver iteration — the iterative
+equivalent of ODE folding bilateral rows into the same LCP. Everything is
+fixed-capacity and branch-free: a ``JointSet`` holds ``max_joints`` slots
+(type 0 = empty), so jit traces once regardless of how many joints exist.
+
+Anchors and axes are stored in BODY-LOCAL coordinates and transformed by
+the current body poses every step, exactly like ODE's joint anchors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rl_ode_physics_tpu.core.config import EngineConfig
+from rl_ode_physics_tpu.core.state import WorldState, world_inv_inertia
+from rl_ode_physics_tpu.utils import quat as quat_m
+
+_EPS = 1e-9
+
+JOINT_NONE = 0
+JOINT_BALL = 1
+JOINT_HINGE = 2
+
+# rows emitted per joint slot (static): 3 linear + 2 angular constraint
+# rows (ball leaves the angular rows disabled) + 1 motor row + 1 limit row
+ROWS_PER_JOINT = 7
+
+
+@struct.dataclass
+class JointSet:
+    """Fixed-capacity joint table (a pytree — pass to ``make_step_fn`` /
+    ``step`` like the trimesh; update between steps to add/remove)."""
+
+    kind: jnp.ndarray        # (J,) int32 — JOINT_NONE/BALL/HINGE
+    a: jnp.ndarray           # (J,) int32 body slot
+    b: jnp.ndarray           # (J,) int32 body slot
+    anchor_a: jnp.ndarray    # (J, 3) anchor in a's local frame
+    anchor_b: jnp.ndarray    # (J, 3) anchor in b's local frame
+    axis_a: jnp.ndarray      # (J, 3) hinge axis in a's local frame
+    axis_b: jnp.ndarray      # (J, 3) hinge axis in b's local frame
+    ref_a: jnp.ndarray       # (J, 3) angle reference ⊥ axis, a's frame
+    ref_b: jnp.ndarray       # (J, 3) the same world vector in b's frame
+    lo: jnp.ndarray          # (J,) hinge angle lo stop (dParamLoStop)
+    hi: jnp.ndarray          # (J,) hinge angle hi stop (dParamHiStop)
+    motor_vel: jnp.ndarray   # (J,) motor target angular velocity (dParamVel)
+    motor_fmax: jnp.ndarray  # (J,) motor max torque, 0 = off (dParamFMax)
+
+    @property
+    def capacity(self) -> int:
+        return self.kind.shape[0]
+
+
+def empty_joints(capacity: int, dtype=jnp.float32) -> JointSet:
+    z3 = jnp.zeros((capacity, 3), dtype)
+    ax = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dtype), (capacity, 1))
+    rf = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], dtype), (capacity, 1))
+    inf = jnp.full((capacity,), jnp.inf, dtype)
+    z = jnp.zeros((capacity,), dtype)
+    return JointSet(kind=jnp.zeros((capacity,), jnp.int32),
+                    a=jnp.zeros((capacity,), jnp.int32),
+                    b=jnp.zeros((capacity,), jnp.int32),
+                    anchor_a=z3, anchor_b=z3, axis_a=ax, axis_b=ax,
+                    ref_a=rf, ref_b=rf,
+                    lo=-inf, hi=inf, motor_vel=z, motor_fmax=z)
+
+
+def _to_local(state: WorldState, body, world_point):
+    r = quat_m.to_matrix(state.quat[body])
+    return r.T @ (jnp.asarray(world_point, state.pos.dtype) - state.pos[body])
+
+
+def add_ball(joints: JointSet, state: WorldState, slot: int,
+             a: int, b: int, world_anchor) -> JointSet:
+    """dJointCreateBall + dJointSetBallAnchor: store the current world
+    anchor in both bodies' local frames."""
+    wa = jnp.asarray(world_anchor, state.pos.dtype)
+    return joints.replace(
+        kind=joints.kind.at[slot].set(JOINT_BALL),
+        a=joints.a.at[slot].set(a),
+        b=joints.b.at[slot].set(b),
+        anchor_a=joints.anchor_a.at[slot].set(_to_local(state, a, wa)),
+        anchor_b=joints.anchor_b.at[slot].set(_to_local(state, b, wa)),
+    )
+
+
+def add_hinge(joints: JointSet, state: WorldState, slot: int,
+              a: int, b: int, world_anchor, world_axis) -> JointSet:
+    """dJointCreateHinge + SetHingeAnchor/SetHingeAxis."""
+    j = add_ball(joints, state, slot, a, b, world_anchor)
+    ax = jnp.asarray(world_axis, state.pos.dtype)
+    ax = ax / jnp.maximum(jnp.linalg.norm(ax), _EPS)
+    ra = quat_m.to_matrix(state.quat[a])
+    rb = quat_m.to_matrix(state.quat[b])
+    # angle reference: any world vector ⊥ axis at creation time defines
+    # angle 0 (ODE stores qrel; this perpendicular pair is equivalent for
+    # the hinge's 1-DoF angle)
+    ref_w, _ = _perp_basis(ax)
+    return j.replace(
+        kind=j.kind.at[slot].set(JOINT_HINGE),
+        axis_a=j.axis_a.at[slot].set(ra.T @ ax),
+        axis_b=j.axis_b.at[slot].set(rb.T @ ax),
+        ref_a=j.ref_a.at[slot].set(ra.T @ ref_w),
+        ref_b=j.ref_b.at[slot].set(rb.T @ ref_w),
+    )
+
+
+def set_hinge_limits(joints: JointSet, slot: int, lo, hi) -> JointSet:
+    """dJointSetHingeParam(dParamLoStop / dParamHiStop). Angles in radians
+    relative to the creation pose; ERP-driven stops (no stop bounce)."""
+    return joints.replace(lo=joints.lo.at[slot].set(lo),
+                          hi=joints.hi.at[slot].set(hi))
+
+
+def set_hinge_motor(joints: JointSet, slot: int, vel, fmax) -> JointSet:
+    """dJointSetHingeParam(dParamVel / dParamFMax): drive the hinge angular
+    velocity toward ``vel`` with torque bounded by ``fmax`` (0 = off)."""
+    return joints.replace(motor_vel=joints.motor_vel.at[slot].set(vel),
+                          motor_fmax=joints.motor_fmax.at[slot].set(fmax))
+
+
+def hinge_angle(state: WorldState, joints: JointSet):
+    """(J,) current hinge angles (radians, relative to creation pose)."""
+    a, b = joints.a, joints.b
+    ra = quat_m.to_matrix(state.quat[a])
+    rb = quat_m.to_matrix(state.quat[b])
+    u = jnp.einsum("jik,jk->ji", ra, joints.axis_a)
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), _EPS)
+    pa = jnp.einsum("jik,jk->ji", ra, joints.ref_a)
+    pb = jnp.einsum("jik,jk->ji", rb, joints.ref_b)
+    # project both references into the plane ⊥ u, angle from a's to b's
+    pa = pa - u * jnp.sum(pa * u, -1, keepdims=True)
+    pb = pb - u * jnp.sum(pb * u, -1, keepdims=True)
+    s = jnp.sum(jnp.cross(pa, pb) * u, -1)
+    c = jnp.sum(pa * pb, -1)
+    return jnp.arctan2(s, c)
+
+
+def _perp_basis(u):
+    """Deterministic orthonormal (p, q) completing unit axis u; (..., 3)."""
+    ax = jnp.argmin(jnp.abs(u), axis=-1)
+    e = jax.nn.one_hot(ax, 3, dtype=u.dtype)
+    p = jnp.cross(u, e)
+    p = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), _EPS)
+    q = jnp.cross(u, p)
+    return p, q
+
+
+def joint_rows(state: WorldState, joints: JointSet, config: EngineConfig):
+    """Per-step packed bilateral rows (R = J·5, all fixed-shape):
+
+    returns dict of (R, …) arrays: body indices, linear axis ``n`` (zero
+    for angular rows), rel-velocity angular weights ``wa``/``wb``
+    (J's angular blocks: r×n for linear rows, the axis itself for angular
+    rows), effective mass ``d``, ERP bias ``rhs``, and ``live``.
+    """
+    f = state.pos.dtype
+    jcap = joints.capacity
+    dt = config.dt
+    erp_dt = config.erp / dt
+
+    a, b = joints.a, joints.b
+    ra = quat_m.to_matrix(state.quat[a])                  # (J, 3, 3)
+    rb = quat_m.to_matrix(state.quat[b])
+    pa = state.pos[a] + jnp.einsum("jik,jk->ji", ra, joints.anchor_a)
+    pb = state.pos[b] + jnp.einsum("jik,jk->ji", rb, joints.anchor_b)
+    arm_a = pa - state.pos[a]                             # (J, 3)
+    arm_b = pb - state.pos[b]
+
+    axis_w = jnp.einsum("jik,jk->ji", ra, joints.axis_a)  # hinge axis, world
+    axis_w = axis_w / jnp.maximum(
+        jnp.linalg.norm(axis_w, axis=-1, keepdims=True), _EPS)
+    axis_b_w = jnp.einsum("jik,jk->ji", rb, joints.axis_b)
+    p_ax, q_ax = _perp_basis(axis_w)
+
+    is_ball = joints.kind == JOINT_BALL
+    is_hinge = joints.kind == JOINT_HINGE
+    live_j = is_ball | is_hinge
+
+    err = pa - pb                                         # anchor separation
+    # hinge axis misalignment: u = axis_b × axis_a, projected on p/q
+    mis = jnp.cross(axis_b_w, axis_w)
+
+    eye = jnp.eye(3, dtype=f)
+    inf_j = jnp.full((jcap,), jnp.inf, f)
+    zero_j = jnp.zeros((jcap,), f)
+
+    rows_n, rows_wa, rows_wb = [], [], []
+    rows_rhs, rows_live, rows_lob, rows_hib = [], [], [], []
+    # 3 linear rows (world basis axes)
+    for i in range(3):
+        n = jnp.broadcast_to(eye[i], (jcap, 3))
+        rows_n.append(n)
+        rows_wa.append(jnp.cross(arm_a, n))               # r_a × n
+        rows_wb.append(jnp.cross(arm_b, n))
+        rows_rhs.append(erp_dt * err[:, i])
+        rows_live.append(live_j)
+        rows_lob.append(-inf_j)
+        rows_hib.append(inf_j)
+    # 2 angular rows (hinge only)
+    for ax in (p_ax, q_ax):
+        rows_n.append(jnp.zeros((jcap, 3), f))
+        rows_wa.append(ax)
+        rows_wb.append(ax)
+        rows_rhs.append(erp_dt * jnp.sum(mis * ax, -1))
+        rows_live.append(is_hinge)
+        rows_lob.append(-inf_j)
+        rows_hib.append(inf_j)
+
+    # motor row: drive (w_b − w_a)·u toward motor_vel, torque impulse
+    # clamped to ±fmax·dt (dParamVel / dParamFMax)
+    rows_n.append(jnp.zeros((jcap, 3), f))
+    rows_wa.append(axis_w)
+    rows_wb.append(axis_w)
+    rows_rhs.append(joints.motor_vel)
+    rows_live.append(is_hinge & (joints.motor_fmax > 0.0))
+    rows_lob.append(-joints.motor_fmax * dt)
+    rows_hib.append(joints.motor_fmax * dt)
+
+    # limit row: one-sided stop when the hinge angle is outside [lo, hi]
+    # (ERP-driven, no stop bounce — documented deviation from dParamBounce)
+    angle = hinge_angle(state, joints)
+    below = angle < joints.lo
+    above = angle > joints.hi
+    stop_target = jnp.where(below, erp_dt * (joints.lo - angle),
+                            erp_dt * (joints.hi - angle))
+    rows_n.append(jnp.zeros((jcap, 3), f))
+    rows_wa.append(axis_w)
+    rows_wb.append(axis_w)
+    rows_rhs.append(stop_target)
+    rows_live.append(is_hinge & (below | above))
+    rows_lob.append(jnp.where(below, zero_j, -inf_j))
+    rows_hib.append(jnp.where(below, inf_j, zero_j))
+
+    rpj = ROWS_PER_JOINT
+    # interleave per joint: (J, R/J, …) → (R,)
+    n = jnp.stack(rows_n, 1).reshape(jcap * rpj, 3)
+    wa = jnp.stack(rows_wa, 1).reshape(jcap * rpj, 3)
+    wb = jnp.stack(rows_wb, 1).reshape(jcap * rpj, 3)
+    rhs = jnp.stack(rows_rhs, 1).reshape(jcap * rpj)
+    live = jnp.stack(rows_live, 1).reshape(jcap * rpj)
+    lob = jnp.stack(rows_lob, 1).reshape(jcap * rpj)
+    hib = jnp.stack(rows_hib, 1).reshape(jcap * rpj)
+
+    a_r = jnp.repeat(a, rpj)
+    b_r = jnp.repeat(b, rpj)
+
+    inv_i = world_inv_inertia(state)                      # (N, 3, 3)
+    inv_m = state.inv_mass
+    ii_a, ii_b = inv_i[a_r], inv_i[b_r]
+
+    def iiv(ii, v):                                       # (R,3,3)·(R,3)
+        return jnp.sum(ii * v[:, None, :], axis=-1)
+
+    ang_resp_a = iiv(ii_a, wa)                            # invI_a·wa
+    ang_resp_b = iiv(ii_b, wb)
+    d = (jnp.sum(n * n, -1) * (inv_m[a_r] + inv_m[b_r])
+         + jnp.sum(wa * ang_resp_a, -1)
+         + jnp.sum(wb * ang_resp_b, -1))
+    cfm_term = config.cfm / dt
+    d = d + cfm_term
+
+    # mass-splitting degree for the parallel (Jacobi) update: JOINTS (not
+    # rows) touching each body — mirrors the contact κ, which counts
+    # contacts, not axis rows
+    cols = jnp.arange(state.num_slots)
+    deg = (jnp.sum((cols[None, :] == a[:, None]) & live_j[:, None], 0)
+           + jnp.sum((cols[None, :] == b[:, None]) & live_j[:, None], 0)
+           ).astype(f)
+    split = jnp.maximum(jnp.maximum(deg[a_r], deg[b_r]), 1.0)
+
+    return dict(a=a_r, b=b_r, n=n, wa=wa, wb=wb,
+                ang_resp_a=ang_resp_a, ang_resp_b=ang_resp_b,
+                inv_m_a=inv_m[a_r], inv_m_b=inv_m[b_r],
+                d=(d - cfm_term) * split + cfm_term,
+                d_seq=d,
+                rhs=rhs, live=live, lob=lob, hib=hib)
+
+
+def joint_iteration(vel8, rows, lam, omega, cfm_term, parallel=True):
+    """One unclamped relaxation pass over all joint rows.
+
+    ``vel8``: (N, 8) packed [linvel ‖ angvel ‖ pad] (the Jacobi solver's
+    carry). Gather-compute-scatter with one-hot matmuls, like the contact
+    pass; rows see the velocities from the START of the pass (Jacobi,
+    mass-split) so the update is deterministic and batched.
+    Returns (vel8', lam').
+    """
+    f = vel8.dtype
+    nslots = vel8.shape[0]
+    a, b = rows["a"], rows["b"]
+    oh_a = jax.nn.one_hot(a, nslots, dtype=f)             # (R, N)
+    oh_b = jax.nn.one_hot(b, nslots, dtype=f)
+    va = oh_a @ vel8                                      # (R, 8)
+    vb = oh_b @ vel8
+
+    rel = (jnp.sum((vb[:, 0:3] - va[:, 0:3]) * rows["n"], -1)
+           + jnp.sum(vb[:, 3:6] * rows["wb"], -1)
+           - jnp.sum(va[:, 3:6] * rows["wa"], -1))
+    d = rows["d"] if parallel else rows["d_seq"]
+    # target velocity = +erp/dt · constraint error (drives the error to
+    # zero: positive dλ pushes body b along +n / body a along −n);
+    # equality rows have ±inf bounds, motor/limit rows are clamped
+    dl = omega * (rows["rhs"] - rel - cfm_term * lam) / d
+    new_lam = jnp.clip(lam + dl, rows["lob"], rows["hib"])
+    dl = jnp.where(rows["live"], new_lam - lam, 0.0)
+    lam = lam + dl
+
+    imp = rows["n"] * dl[:, None]                         # (R, 3)
+    contrib_a = jnp.concatenate(
+        [-rows["inv_m_a"][:, None] * imp,
+         -rows["ang_resp_a"] * dl[:, None],
+         jnp.zeros((imp.shape[0], 2), f)], -1)            # (R, 8)
+    contrib_b = jnp.concatenate(
+        [rows["inv_m_b"][:, None] * imp,
+         rows["ang_resp_b"] * dl[:, None],
+         jnp.zeros((imp.shape[0], 2), f)], -1)
+    dv = oh_a.T @ contrib_a + oh_b.T @ contrib_b          # (N, 8)
+    return vel8 + dv, lam

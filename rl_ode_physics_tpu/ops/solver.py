@@ -174,7 +174,8 @@ def _apply_impulse(linvel, angvel, inv_m, inv_i, body, r, impulse):
 
 
 def solve_pgs(state: WorldState, contacts: Contacts,
-              config: EngineConfig, lam0=None, return_lam: bool = False):
+              config: EngineConfig, lam0=None, return_lam: bool = False,
+              joints_rows=None):
     """Sequential projected Gauss-Seidel (SOR) — ODE QuickStep ordering.
 
     ``lax.scan`` over rows inside ``lax.fori_loop`` over iterations. Row
@@ -245,8 +246,22 @@ def solve_pgs(state: WorldState, contacts: Contacts,
 
         return (linvel, angvel, lam_n, lam_t1, lam_t2), None
 
+    with_joints = joints_rows is not None
+    if with_joints:
+        from rl_ode_physics_tpu.ops.joints import joint_iteration
+
     def one_iter(_, carry):
+        if with_joints:
+            carry, jlam = carry[:-1], carry[-1]
         carry, _ = jax.lax.scan(one_row, carry, jnp.arange(c))
+        if with_joints:
+            # interleaved bilateral pass after each contact sweep
+            linvel, angvel = carry[0], carry[1]
+            vel8 = jnp.concatenate(
+                [linvel, angvel, jnp.zeros_like(linvel[:, :2])], -1)
+            vel8, jlam = joint_iteration(vel8, joints_rows, jlam, omega,
+                                         cfm_term, parallel=False)
+            carry = (vel8[:, 0:3], vel8[:, 3:6]) + carry[2:] + (jlam,)
         return carry
 
     zero = jnp.zeros((c,), state.linvel.dtype)
@@ -272,9 +287,12 @@ def solve_pgs(state: WorldState, contacts: Contacts,
             angvel = angvel + oh.T @ dang
 
     carry = (linvel, angvel, l_n, l_1, l_2)
-    linvel, angvel, lam_n, lam_t1, lam_t2 = jax.lax.fori_loop(
+    if with_joints:
+        carry = carry + (jnp.zeros_like(joints_rows["rhs"]),)
+    out_c = jax.lax.fori_loop(
         0, config.solver_iterations, one_iter, carry
     )
+    linvel, angvel, lam_n, lam_t1, lam_t2 = out_c[:5]
     out = state.replace(linvel=linvel, angvel=angvel)
     if return_lam:
         return out, jnp.stack([lam_n, lam_t1, lam_t2], axis=-1)
@@ -382,7 +400,8 @@ def pack_solver_inputs(state: WorldState, contacts: Contacts,
 
 
 def solve_jacobi(state: WorldState, contacts: Contacts,
-                 config: EngineConfig, lam0=None, return_lam: bool = False):
+                 config: EngineConfig, lam0=None, return_lam: bool = False,
+                 joints_rows=None):
     """Batched projected Jacobi with mass splitting — the throughput solver.
 
     Every iteration is a fully parallel, *gather-only* pass:
@@ -447,8 +466,13 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
 
     beta = float(config.jacobi_beta)
     momentum = beta != 0.0
+    with_joints = joints_rows is not None
+    if with_joints:
+        from rl_ode_physics_tpu.ops.joints import joint_iteration
 
     def one_iter(_, carry):
+        if with_joints:
+            carry, jlam = carry[:-1], carry[-1]
         if momentum:
             # heavy-ball: extrapolate with the previous accepted step before
             # projecting (projected heavy-ball / Polyak momentum)
@@ -500,9 +524,17 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
 
         # MXU scatter-add back into the bodies
         vel = vel + scatter(imp)
+        if with_joints:
+            # interleaved bilateral pass (unclamped rows) — the iterative
+            # analog of ODE folding joint rows into the same LCP
+            vel, jlam = joint_iteration(vel, joints_rows, jlam, omega,
+                                        cfm_term)
+        out = (vel, lam_n, lam_t1, lam_t2)
         if momentum:
-            return vel, lam_n, lam_t1, lam_t2, pn, p1, p2
-        return vel, lam_n, lam_t1, lam_t2
+            out = out + (pn, p1, p2)
+        if with_joints:
+            out = out + (jlam,)
+        return out
 
     zero = jnp.zeros((c, 1), f)
     if lam0 is None:
@@ -517,6 +549,8 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
     carry = (vel0, l_n, l_1, l_2)
     if momentum:
         carry = carry + (l_n, l_1, l_2)
+    if with_joints:
+        carry = carry + (jnp.zeros_like(joints_rows["rhs"]),)
     out_carry = jax.lax.fori_loop(
         0, config.solver_iterations, one_iter, carry
     )
@@ -528,12 +562,30 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
 
 
 def solve(state: WorldState, contacts: Contacts,
-          config: EngineConfig) -> WorldState:
+          config: EngineConfig, joints_rows=None) -> WorldState:
     if config.solver is SolverKind.PGS:
-        return solve_pgs(state, contacts, config)
+        return solve_pgs(state, contacts, config, joints_rows=joints_rows)
     if config.solver is SolverKind.DANTZIG:
         from rl_ode_physics_tpu.ops.lcp import solve_dantzig
-        return solve_dantzig(state, contacts, config)
+        state = solve_dantzig(state, contacts, config)
+        if joints_rows is not None:
+            # direct contact solve, then iterative bilateral relaxation
+            # (joint rows are equality constraints — plain relaxation
+            # converges; documented deviation from a single mixed LCP)
+            from rl_ode_physics_tpu.ops.joints import joint_iteration
+            vel8 = jnp.concatenate(
+                [state.linvel, state.angvel,
+                 jnp.zeros_like(state.linvel[:, :2])], -1)
+            jlam = jnp.zeros_like(joints_rows["rhs"])
+            cfm_term = config.cfm / config.dt
+            def body(_, carry):
+                v, l = carry
+                return joint_iteration(v, joints_rows, l, 1.0, cfm_term,
+                                       parallel=False)
+            vel8, _ = jax.lax.fori_loop(
+                0, config.solver_iterations, body, (vel8, jlam))
+            state = state.replace(linvel=vel8[:, 0:3], angvel=vel8[:, 3:6])
+        return state
     # JACOBI, and the FUSED fallback when the megakernel can't run
     # (trimesh attached or non-TPU backend) — same math as the megakernel.
-    return solve_jacobi(state, contacts, config)
+    return solve_jacobi(state, contacts, config, joints_rows=joints_rows)
