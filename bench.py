@@ -34,7 +34,11 @@ def main():
     num_bodies = int(os.environ.get("BENCH_BODIES", 64))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", 8))
     launches = int(os.environ.get("BENCH_STEPS", 12))
-    chunk = int(os.environ.get("BENCH_CHUNK", 2048))
+    # chunk=128 measured optimal on this chip (25.2M vs 21.6M at 2048):
+    # small sequential lax.map chunks keep each chunk's collision/solver
+    # intermediates cache/VMEM-resident between fusions (sweep in
+    # docs/BENCHMARKS.md; 64 collapses to 7.5M - too little parallelism)
+    chunk = int(os.environ.get("BENCH_CHUNK", 128))
     solver = SolverKind[os.environ.get("BENCH_SOLVER", "jacobi").upper()]
     if num_worlds <= chunk or num_worlds % chunk:
         chunk = 0
