@@ -64,9 +64,12 @@ __all__ = [
     "empty_joints",
     "add_ball",
     "add_hinge",
+    "add_fixed",
+    "add_slider",
     "set_hinge_limits",
     "set_hinge_motor",
     "hinge_angle",
+    "slider_position",
     "__version__",
 ]
 
@@ -75,7 +78,10 @@ from rl_ode_physics_tpu.ops.joints import (   # noqa: E402
     empty_joints,
     add_ball,
     add_hinge,
+    add_fixed,
+    add_slider,
     set_hinge_limits,
     set_hinge_motor,
     hinge_angle,
+    slider_position,
 )

@@ -271,6 +271,10 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
     # FUSED off-TPU or with a trimesh attached falls through to the regular
     # pipeline, where solve() runs the same math as JACOBI.
 
+    exclude = None
+    if joints is not None:
+        from rl_ode_physics_tpu.ops.joints import connected_mask
+        exclude = connected_mask(joints, state.num_slots)
     extra = None
     if trimesh is not None:
         from rl_ode_physics_tpu.ops.trimesh import mesh_narrowphase
@@ -279,10 +283,11 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
         extra = mesh_narrowphase(state, trimesh, config,
                                  use_pallas=use_pallas)
     if config.typed_buckets:
-        contacts, num_pairs = np_ops.narrowphase_typed(state, config, extra)
+        contacts, num_pairs = np_ops.narrowphase_typed(state, config, extra,
+                                                       exclude=exclude)
         pair_overflow = jnp.zeros((), jnp.int32)   # folded into contacts.overflow
     else:
-        cand = bp.broadphase(state, config)
+        cand = bp.broadphase(state, config, exclude=exclude)
         contacts = np_ops.narrowphase(state, cand, config, extra)
         num_pairs, pair_overflow = cand.count, cand.overflow
     joints_rows = None

@@ -91,7 +91,7 @@ def compute_aabbs(state: WorldState, margin: float = 0.0) -> jnp.ndarray:
 
 
 def broadphase(state: WorldState, config: EngineConfig,
-               margin: float = 0.0) -> PairCandidates:
+               margin: float = 0.0, exclude=None) -> PairCandidates:
     """All-pairs AABB + mask test, compacted to ``max_pair_candidates``.
 
     Computed as dense (N, N) broadcast masks — zero gathers (batched gathers
@@ -131,7 +131,11 @@ def broadphase(state: WorldState, config: EngineConfig,
     upper = (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
 
     hit = (overlap & mask_ok & both_active & any_movable & no_mesh_pair
-           & upper).reshape(n * n)
+           & upper)
+    if exclude is not None:
+        # joint-connected pairs (ODE dAreConnected) don't collide
+        hit = hit & ~exclude
+    hit = hit.reshape(n * n)
 
     # deterministic scatter-free compaction (top_k; see ops/compaction.py)
     from rl_ode_physics_tpu.ops.compaction import compact_mask

@@ -6,11 +6,17 @@ but the ODE engine it links exposes bilateral joints as a core feature —
 a user switching from an ODE-based stack expects them. This module extends
 the impulse-space solver with ODE-style bilateral constraint rows:
 
-* BALL  — 3 rows: the world-frame relative velocity of the two anchor
+* BALL   — 3 rows: the world-frame relative velocity of the two anchor
   points is driven to the ERP-scaled anchor separation (dJointCreateBall).
-* HINGE — the 3 ball rows + 2 angular rows keeping the relative angular
-  velocity perpendicular to the hinge axis zero, with an ERP bias on the
-  axis misalignment (dJointCreateHinge, without limits/motors for now).
+* HINGE  — the 3 ball rows + 2 angular rows keeping the relative angular
+  velocity perpendicular to the hinge axis zero (ERP bias on axis
+  misalignment), + an optional motor row (dParamVel/dParamFMax) and a
+  one-sided limit row (dParamLoStop/HiStop) — dJointCreateHinge.
+* FIXED  — 3 anchor rows + 3 angular rows locking all relative rotation
+  (two-frame-vector orientation error) — dJointCreateFixed.
+* SLIDER — 2 lateral anchor rows (⊥ the slide axis) + 3 rotation-lock
+  rows + optional LINEAR motor and position-limit rows along the axis
+  (dJointCreateSlider with dParamVel/FMax/LoStop/HiStop in meters).
 
 Rows are solved interleaved with the contact sweep, one unclamped
 projected-Jacobi (or PGS) update per solver iteration — the iterative
@@ -38,6 +44,8 @@ _EPS = 1e-9
 JOINT_NONE = 0
 JOINT_BALL = 1
 JOINT_HINGE = 2
+JOINT_FIXED = 3
+JOINT_SLIDER = 4
 
 # rows emitted per joint slot (static): 3 linear + 2 angular constraint
 # rows (ball leaves the angular rows disabled) + 1 motor row + 1 limit row
@@ -136,6 +144,61 @@ def set_hinge_motor(joints: JointSet, slot: int, vel, fmax) -> JointSet:
                           motor_fmax=joints.motor_fmax.at[slot].set(fmax))
 
 
+def add_fixed(joints: JointSet, state: WorldState, slot: int,
+              a: int, b: int) -> JointSet:
+    """dJointCreateFixed + dJointSetFixed: lock the current relative pose.
+    Anchor = midpoint of the body origins; the stored axis/ref frame pair
+    encodes the relative orientation to maintain."""
+    mid = 0.5 * (state.pos[a] + state.pos[b])
+    j = add_ball(joints, state, slot, a, b, mid)
+    f = state.pos.dtype
+    za = jnp.asarray([0.0, 0.0, 1.0], f)
+    xa = jnp.asarray([1.0, 0.0, 0.0], f)
+    ra = quat_m.to_matrix(state.quat[a])
+    rb = quat_m.to_matrix(state.quat[b])
+    return j.replace(
+        kind=j.kind.at[slot].set(JOINT_FIXED),
+        axis_a=j.axis_a.at[slot].set(ra.T @ za),
+        axis_b=j.axis_b.at[slot].set(rb.T @ za),
+        ref_a=j.ref_a.at[slot].set(ra.T @ xa),
+        ref_b=j.ref_b.at[slot].set(rb.T @ xa),
+    )
+
+
+def add_slider(joints: JointSet, state: WorldState, slot: int,
+               a: int, b: int, world_axis) -> JointSet:
+    """dJointCreateSlider + dJointSetSliderAxis: bodies translate along
+    ``world_axis`` only, relative rotation fully locked. Slide position 0
+    is the creation pose; ``set_hinge_limits``/``set_hinge_motor`` apply in
+    meters / m/s / N along the axis."""
+    ax = jnp.asarray(world_axis, state.pos.dtype)
+    ax = ax / jnp.maximum(jnp.linalg.norm(ax), _EPS)
+    # anchor on the slide line: body a's origin at creation
+    j = add_ball(joints, state, slot, a, b, state.pos[a])
+    ra = quat_m.to_matrix(state.quat[a])
+    rb = quat_m.to_matrix(state.quat[b])
+    ref_w, _ = _perp_basis(ax)
+    return j.replace(
+        kind=j.kind.at[slot].set(JOINT_SLIDER),
+        axis_a=j.axis_a.at[slot].set(ra.T @ ax),
+        axis_b=j.axis_b.at[slot].set(rb.T @ ax),
+        ref_a=j.ref_a.at[slot].set(ra.T @ ref_w),
+        ref_b=j.ref_b.at[slot].set(rb.T @ ref_w),
+    )
+
+
+def slider_position(state: WorldState, joints: JointSet):
+    """(J,) slide distance along the axis relative to the creation pose
+    (dJointGetSliderPosition)."""
+    a, b = joints.a, joints.b
+    ra = quat_m.to_matrix(state.quat[a])
+    rb = quat_m.to_matrix(state.quat[b])
+    u = jnp.einsum("jik,jk->ji", ra, joints.axis_a)
+    pa = state.pos[a] + jnp.einsum("jik,jk->ji", ra, joints.anchor_a)
+    pb = state.pos[b] + jnp.einsum("jik,jk->ji", rb, joints.anchor_b)
+    return jnp.sum((pb - pa) * u, -1)
+
+
 def hinge_angle(state: WorldState, joints: JointSet):
     """(J,) current hinge angles (radians, relative to creation pose)."""
     a, b = joints.a, joints.b
@@ -161,6 +224,21 @@ def _perp_basis(u):
     p = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), _EPS)
     q = jnp.cross(u, p)
     return p, q
+
+
+def connected_mask(joints: JointSet, num_slots: int) -> jnp.ndarray:
+    """(N, N) True where the two slots are directly connected by a live
+    joint — ODE's ``dAreConnected``. The step pipeline excludes these pairs
+    from collision, matching the conventional ODE nearCallback pattern of
+    skipping connected bodies (jointed assemblies would otherwise fight
+    their own contacts)."""
+    live = joints.kind != JOINT_NONE
+    cols = jnp.arange(num_slots)
+    oh_a = (joints.a[:, None] == cols[None, :]) & live[:, None]   # (J, N)
+    oh_b = (joints.b[:, None] == cols[None, :]) & live[:, None]
+    m = (jnp.einsum("jn,jm->nm", oh_a.astype(jnp.float32),
+                    oh_b.astype(jnp.float32)) > 0)
+    return m | m.T
 
 
 def joint_rows(state: WorldState, joints: JointSet, config: EngineConfig):
@@ -192,60 +270,106 @@ def joint_rows(state: WorldState, joints: JointSet, config: EngineConfig):
 
     is_ball = joints.kind == JOINT_BALL
     is_hinge = joints.kind == JOINT_HINGE
-    live_j = is_ball | is_hinge
+    is_fixed = joints.kind == JOINT_FIXED
+    is_slider = joints.kind == JOINT_SLIDER
+    rot_locked = is_fixed | is_slider
+    live_j = is_ball | is_hinge | is_fixed | is_slider
 
     err = pa - pb                                         # anchor separation
     # hinge axis misalignment: u = axis_b × axis_a, projected on p/q
     mis = jnp.cross(axis_b_w, axis_w)
+    # full orientation error for rotation-locked joints (two-frame-vector
+    # form: rotating b by err aligns its stored frame with a's)
+    ref_a_w = jnp.einsum("jik,jk->ji", ra, joints.ref_a)
+    ref_b_w = jnp.einsum("jik,jk->ji", rb, joints.ref_b)
+    rot_err = 0.5 * (jnp.cross(axis_b_w, axis_w)
+                     + jnp.cross(ref_b_w, ref_a_w))
 
     eye = jnp.eye(3, dtype=f)
     inf_j = jnp.full((jcap,), jnp.inf, f)
     zero_j = jnp.zeros((jcap,), f)
 
+    sel3 = lambda c, x, y: jnp.where(c[:, None], x, y)
+
     rows_n, rows_wa, rows_wb = [], [], []
     rows_rhs, rows_live, rows_lob, rows_hib = [], [], [], []
-    # 3 linear rows (world basis axes)
+    # 3 anchor rows. Ball/hinge/fixed: world basis axes. Slider: the two
+    # lateral axes ⊥ the slide axis (motion ALONG the axis is free), and
+    # the third slot becomes the first rotation-lock row.
+    lat = (p_ax, q_ax)
     for i in range(3):
-        n = jnp.broadcast_to(eye[i], (jcap, 3))
-        rows_n.append(n)
-        rows_wa.append(jnp.cross(arm_a, n))               # r_a × n
-        rows_wb.append(jnp.cross(arm_b, n))
-        rows_rhs.append(erp_dt * err[:, i])
-        rows_live.append(live_j)
+        e_i = jnp.broadcast_to(eye[i], (jcap, 3))
+        if i < 2:
+            n = sel3(is_slider, lat[i], e_i)
+            rows_n.append(n)
+            rows_wa.append(jnp.cross(arm_a, n))           # r_a × n
+            rows_wb.append(jnp.cross(arm_b, n))
+            rows_rhs.append(erp_dt * jnp.where(
+                is_slider, jnp.sum(err * n, -1), err[:, i]))
+            rows_live.append(live_j)
+        else:
+            # slider: angular rot-lock about e_x instead of a third anchor
+            rows_n.append(sel3(~is_slider, e_i, jnp.zeros((jcap, 3), f)))
+            rows_wa.append(sel3(is_slider, jnp.broadcast_to(eye[0], (jcap, 3)),
+                                jnp.cross(arm_a, e_i)))
+            rows_wb.append(sel3(is_slider, jnp.broadcast_to(eye[0], (jcap, 3)),
+                                jnp.cross(arm_b, e_i)))
+            rows_rhs.append(erp_dt * jnp.where(
+                is_slider, rot_err[:, 0], err[:, i]))
+            rows_live.append(live_j)
         rows_lob.append(-inf_j)
         rows_hib.append(inf_j)
-    # 2 angular rows (hinge only)
-    for ax in (p_ax, q_ax):
+    # 2 angular rows. Hinge: perpendicular pair with axis-misalignment
+    # bias. Fixed: rot-lock about e_x, e_y. Slider: rot-lock e_y, e_z.
+    for k_ang in range(2):
+        hinge_ax = lat[k_ang]
+        lock_ax_f = jnp.broadcast_to(eye[k_ang], (jcap, 3))       # fixed
+        lock_ax_s = jnp.broadcast_to(eye[k_ang + 1], (jcap, 3))   # slider
+        ax = sel3(is_hinge, hinge_ax, sel3(is_slider, lock_ax_s, lock_ax_f))
         rows_n.append(jnp.zeros((jcap, 3), f))
         rows_wa.append(ax)
         rows_wb.append(ax)
-        rows_rhs.append(erp_dt * jnp.sum(mis * ax, -1))
-        rows_live.append(is_hinge)
+        rows_rhs.append(jnp.where(
+            is_hinge, erp_dt * jnp.sum(mis * ax, -1),
+            erp_dt * jnp.sum(rot_err * ax, -1)))
+        rows_live.append(is_hinge | rot_locked)
         rows_lob.append(-inf_j)
         rows_hib.append(inf_j)
 
-    # motor row: drive (w_b − w_a)·u toward motor_vel, torque impulse
-    # clamped to ±fmax·dt (dParamVel / dParamFMax)
-    rows_n.append(jnp.zeros((jcap, 3), f))
-    rows_wa.append(axis_w)
-    rows_wb.append(axis_w)
-    rows_rhs.append(joints.motor_vel)
-    rows_live.append(is_hinge & (joints.motor_fmax > 0.0))
-    rows_lob.append(-joints.motor_fmax * dt)
-    rows_hib.append(joints.motor_fmax * dt)
+    # motor row. Hinge: angular drive about the axis (dParamVel/dParamFMax,
+    # impulse clamped to ±fmax·dt). Slider: LINEAR drive along the axis.
+    # Fixed: third rot-lock row (e_z).
+    mot_n = sel3(is_slider, axis_w, jnp.zeros((jcap, 3), f))
+    ez = jnp.broadcast_to(eye[2], (jcap, 3))
+    mot_wa = sel3(is_hinge, axis_w,
+                  sel3(is_fixed, ez, jnp.cross(arm_a, mot_n)))
+    mot_wb = sel3(is_hinge, axis_w,
+                  sel3(is_fixed, ez, jnp.cross(arm_b, mot_n)))
+    rows_n.append(mot_n)
+    rows_wa.append(mot_wa)
+    rows_wb.append(mot_wb)
+    rows_rhs.append(jnp.where(is_fixed, erp_dt * rot_err[:, 2],
+                              joints.motor_vel))
+    rows_live.append(((is_hinge | is_slider) & (joints.motor_fmax > 0.0))
+                     | is_fixed)
+    rows_lob.append(jnp.where(is_fixed, -inf_j, -joints.motor_fmax * dt))
+    rows_hib.append(jnp.where(is_fixed, inf_j, joints.motor_fmax * dt))
 
-    # limit row: one-sided stop when the hinge angle is outside [lo, hi]
-    # (ERP-driven, no stop bounce — documented deviation from dParamBounce)
-    angle = hinge_angle(state, joints)
-    below = angle < joints.lo
-    above = angle > joints.hi
-    stop_target = jnp.where(below, erp_dt * (joints.lo - angle),
-                            erp_dt * (joints.hi - angle))
-    rows_n.append(jnp.zeros((jcap, 3), f))
-    rows_wa.append(axis_w)
-    rows_wb.append(axis_w)
+    # limit row: one-sided stop when the hinge angle / slide position is
+    # outside [lo, hi] (ERP-driven, no stop bounce — documented deviation
+    # from dParamBounce)
+    coord = jnp.where(is_slider, slider_position(state, joints),
+                      hinge_angle(state, joints))
+    below = coord < joints.lo
+    above = coord > joints.hi
+    stop_target = jnp.where(below, erp_dt * (joints.lo - coord),
+                            erp_dt * (joints.hi - coord))
+    lim_n = sel3(is_slider, axis_w, jnp.zeros((jcap, 3), f))
+    rows_n.append(lim_n)
+    rows_wa.append(sel3(is_hinge, axis_w, jnp.cross(arm_a, lim_n)))
+    rows_wb.append(sel3(is_hinge, axis_w, jnp.cross(arm_b, lim_n)))
     rows_rhs.append(stop_target)
-    rows_live.append(is_hinge & (below | above))
+    rows_live.append((is_hinge | is_slider) & (below | above))
     rows_lob.append(jnp.where(below, zero_j, -inf_j))
     rows_hib.append(jnp.where(below, inf_j, zero_j))
 

@@ -734,7 +734,7 @@ _KERNEL_K = {
 }
 
 
-def _pair_eligibility(state: WorldState):
+def _pair_eligibility(state: WorldState, exclude=None):
     """(N, N) broadphase eligibility mask (same tests as
     ops.broadphase.broadphase) plus canonical per-pair type codes."""
     from rl_ode_physics_tpu.ops.broadphase import compute_aabbs
@@ -755,6 +755,8 @@ def _pair_eligibility(state: WorldState):
     hit = (overlap & mask_ok & (active[:, None] & active[None, :])
            & (movable[:, None] | movable[None, :])
            & (not_mesh[:, None] & not_mesh[None, :]) & upper)
+    if exclude is not None:
+        hit = hit & ~exclude      # joint-connected pairs (dAreConnected)
     t = state.body_type
     tmin = jnp.minimum(t[:, None], t[None, :])
     tmax = jnp.maximum(t[:, None], t[None, :])
@@ -762,7 +764,7 @@ def _pair_eligibility(state: WorldState):
 
 
 def narrowphase_typed(state: WorldState, config: EngineConfig,
-                      extra=None) -> Contacts:
+                      extra=None, exclude=None) -> Contacts:
     """Typed-bucket narrowphase: one compacted candidate list PER pair-type,
     each running ONLY its own kernel with its intrinsic manifold size.
 
@@ -781,7 +783,7 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
     k_glob = config.max_contacts_per_pair
     f = state.pos.dtype
 
-    hit, tmin, tmax = _pair_eligibility(state)
+    hit, tmin, tmax = _pair_eligibility(state, exclude)
     hit_flat = hit.reshape(n * n)
     tmin_f = tmin.reshape(n * n)
     tmax_f = tmax.reshape(n * n)

@@ -209,3 +209,57 @@ def test_hinge_limit_stops_swing():
     assert min_angle > lo - 0.15, f"swung through the stop: {min_angle}"
     final = float(jt.hinge_angle(w, joints)[0])
     assert abs(final - lo) < 0.2, f"did not settle at the stop: {final}"
+
+
+def test_fixed_joint_locks_relative_pose():
+    """Fixed joint: a two-box 'welded' assembly falls as one rigid body —
+    relative pose (offset and orientation) is preserved through tumbling."""
+    cfg = CFG
+    b = WorldBuilder(cfg, 0)
+    b.add_body(BodyType.BOX, (0.0, 4.0, 0.0), (0.4, 0.4, 0.4))
+    b.add_body(BodyType.BOX, (0.7, 4.0, 0.0), (0.4, 0.4, 0.4))
+    w = b.finish()
+    # give the assembly a spin so orientation locking is actually exercised
+    w = w.replace(angvel=w.angvel.at[0].set(jnp.asarray([0.0, 2.0, 1.0])))
+    joints = jt.empty_joints(2)
+    joints = jt.add_fixed(joints, w, 0, 0, 1)
+    stepf = make_step_fn(cfg, substeps=8, donate=False, joints=joints)
+    for _ in range(20):
+        w = stepf(w)
+        d = np.linalg.norm(np.asarray(w.pos[1] - w.pos[0]))
+        assert abs(d - 0.7) < 0.03, f"offset drifted to {d}"
+    # orientations stayed identical (started identical, welded)
+    qd = np.abs(np.asarray(w.quat[0]) - np.asarray(w.quat[1]))
+    qd = min(float(qd.max()),
+             float(np.abs(np.asarray(w.quat[0]) + np.asarray(w.quat[1])).max()))
+    assert qd < 0.05, f"orientation drift {qd}"
+
+
+def test_slider_translates_along_axis_only():
+    """Slider along x: gravity can't move the hanging block (y is locked);
+    a linear motor drives it along x at the target speed; the position
+    limit stops it."""
+    cfg = CFG
+    b = WorldBuilder(cfg, 0)
+    b.add_body_map((0.0, 3.0, 0.0), (0.0, 0.0, 0.0), (0.2, 0.2, 0.2))
+    b.add_body(BodyType.BOX, (0.0, 3.0, 0.0), (0.4, 0.4, 0.4))
+    w = b.finish()
+    joints = jt.empty_joints(2)
+    joints = jt.add_slider(joints, w, 0, 0, 1, (1.0, 0.0, 0.0))
+    joints = jt.set_hinge_motor(joints, 0, vel=1.0, fmax=100.0)
+    joints = jt.set_hinge_limits(joints, 0, lo=-10.0, hi=1.5)
+    stepf = make_step_fn(cfg, substeps=8, donate=False, joints=joints)
+    for i in range(15):
+        w = stepf(w)
+        p = np.asarray(w.pos[1])
+        assert abs(p[1] - 3.0) < 0.02, f"slider sagged: {p}"
+        assert abs(p[2]) < 0.02
+    s = float(jt.slider_position(w, joints)[0])
+    # motor drove it toward the 1.5 m stop (15 ticks x 1/15 s x 1 m/s = 1 m)
+    assert s > 0.8, f"motor did not drive the slider: {s}"
+    for _ in range(20):
+        w = stepf(w)
+    s = float(jt.slider_position(w, joints)[0])
+    assert abs(s - 1.5) < 0.1, f"limit did not hold: {s}"
+    # orientation never changed
+    assert abs(float(w.quat[1, 0]) - 1.0) < 1e-3
