@@ -46,7 +46,9 @@ def main(num_worlds: int = 2048, substeps: int = 8):
                        enable_capsules=False, enable_planes=False)
     w = scenes.bench_world(cfg, num_bodies=60)
     batch = replicate(w, num_worlds)
-    f = make_batched_step_fn(cfg, substeps=substeps, donate=False, unroll=2)
+    chunk = int(os.environ.get("BENCH_CHUNK", 0))
+    f = make_batched_step_fn(cfg, substeps=substeps, donate=False, unroll=2,
+                             chunk=chunk if num_worlds > chunk else 0)
     r = f(batch)
     _ = np.asarray(r.pos[0, 0])
 
@@ -56,14 +58,7 @@ def main(num_worlds: int = 2048, substeps: int = 8):
     _ = np.asarray(r.pos[0, 0])
     jax.profiler.stop_trace()
 
-    @jax.jit
-    def g(b):
-        b, _ = jax.lax.scan(
-            lambda s, _: (batched_step(s, cfg), None), b, None,
-            length=substeps, unroll=2)
-        return b
-
-    hlo = g.lower(batch).compile().as_text()
+    hlo = f.lower(batch).compile().as_text()
 
     path = glob.glob(f"{tracedir}/plugins/profile/*/*.trace.json.gz")[0]
     with gzip.open(path) as fgz:
