@@ -66,6 +66,7 @@ __all__ = [
     "add_hinge",
     "add_fixed",
     "add_slider",
+    "add_universal",
     "set_hinge_limits",
     "set_hinge_motor",
     "hinge_angle",
@@ -80,6 +81,7 @@ from rl_ode_physics_tpu.ops.joints import (   # noqa: E402
     add_hinge,
     add_fixed,
     add_slider,
+    add_universal,
     set_hinge_limits,
     set_hinge_motor,
     hinge_angle,

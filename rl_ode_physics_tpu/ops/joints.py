@@ -17,6 +17,8 @@ the impulse-space solver with ODE-style bilateral constraint rows:
 * SLIDER — 2 lateral anchor rows (⊥ the slide axis) + 3 rotation-lock
   rows + optional LINEAR motor and position-limit rows along the axis
   (dJointCreateSlider with dParamVel/FMax/LoStop/HiStop in meters).
+* UNIVERSAL — the 3 ball rows + 1 angular row keeping axis 1 (on body a)
+  perpendicular to axis 2 (on body b) — dJointCreateUniversal.
 
 Rows are solved interleaved with the contact sweep, one unclamped
 projected-Jacobi (or PGS) update per solver iteration — the iterative
@@ -46,6 +48,7 @@ JOINT_BALL = 1
 JOINT_HINGE = 2
 JOINT_FIXED = 3
 JOINT_SLIDER = 4
+JOINT_UNIVERSAL = 5
 
 # rows emitted per joint slot (static): 3 linear + 2 angular constraint
 # rows (ball leaves the angular rows disabled) + 1 motor row + 1 limit row
@@ -187,6 +190,26 @@ def add_slider(joints: JointSet, state: WorldState, slot: int,
     )
 
 
+def add_universal(joints: JointSet, state: WorldState, slot: int,
+                  a: int, b: int, world_anchor, axis1, axis2) -> JointSet:
+    """dJointCreateUniversal: ball anchor + axis1 (fixed in a) stays
+    perpendicular to axis2 (fixed in b). axis1 ⊥ axis2 required at
+    creation (a drive-shaft cross)."""
+    j = add_ball(joints, state, slot, a, b, world_anchor)
+    f = state.pos.dtype
+    a1 = jnp.asarray(axis1, f)
+    a1 = a1 / jnp.maximum(jnp.linalg.norm(a1), _EPS)
+    a2 = jnp.asarray(axis2, f)
+    a2 = a2 / jnp.maximum(jnp.linalg.norm(a2), _EPS)
+    ra = quat_m.to_matrix(state.quat[a])
+    rb = quat_m.to_matrix(state.quat[b])
+    return j.replace(
+        kind=j.kind.at[slot].set(JOINT_UNIVERSAL),
+        axis_a=j.axis_a.at[slot].set(ra.T @ a1),
+        axis_b=j.axis_b.at[slot].set(rb.T @ a2),
+    )
+
+
 def slider_position(state: WorldState, joints: JointSet):
     """(J,) slide distance along the axis relative to the creation pose
     (dJointGetSliderPosition)."""
@@ -272,8 +295,9 @@ def joint_rows(state: WorldState, joints: JointSet, config: EngineConfig):
     is_hinge = joints.kind == JOINT_HINGE
     is_fixed = joints.kind == JOINT_FIXED
     is_slider = joints.kind == JOINT_SLIDER
+    is_univ = joints.kind == JOINT_UNIVERSAL
     rot_locked = is_fixed | is_slider
-    live_j = is_ball | is_hinge | is_fixed | is_slider
+    live_j = is_ball | is_hinge | is_fixed | is_slider | is_univ
 
     err = pa - pb                                         # anchor separation
     # hinge axis misalignment: u = axis_b × axis_a, projected on p/q
@@ -319,20 +343,33 @@ def joint_rows(state: WorldState, joints: JointSet, config: EngineConfig):
             rows_live.append(live_j)
         rows_lob.append(-inf_j)
         rows_hib.append(inf_j)
+    # universal: keep axis1 (a-fixed, = axis_w) ⊥ axis2 (b-fixed):
+    # C = a1·a2, dC/dt = −(w_b − w_a)·(a1×a2) → row axis u = a1×a2 with
+    # target +erp/dt·C (sign: positive dλ increases (w_b−w_a)·u = −dC/dt)
+    u_cross = jnp.cross(axis_w, axis_b_w)
+    u_norm = jnp.linalg.norm(u_cross, axis=-1, keepdims=True)
+    u_cross = u_cross / jnp.maximum(u_norm, 1e-3)   # degenerate at gimbal
+    c_perp = jnp.sum(axis_w * axis_b_w, -1)
+
     # 2 angular rows. Hinge: perpendicular pair with axis-misalignment
     # bias. Fixed: rot-lock about e_x, e_y. Slider: rot-lock e_y, e_z.
+    # Universal: first slot is the perpendicularity row, second dead.
     for k_ang in range(2):
         hinge_ax = lat[k_ang]
         lock_ax_f = jnp.broadcast_to(eye[k_ang], (jcap, 3))       # fixed
         lock_ax_s = jnp.broadcast_to(eye[k_ang + 1], (jcap, 3))   # slider
         ax = sel3(is_hinge, hinge_ax, sel3(is_slider, lock_ax_s, lock_ax_f))
+        if k_ang == 0:
+            ax = sel3(is_univ, u_cross, ax)
         rows_n.append(jnp.zeros((jcap, 3), f))
         rows_wa.append(ax)
         rows_wb.append(ax)
         rows_rhs.append(jnp.where(
             is_hinge, erp_dt * jnp.sum(mis * ax, -1),
-            erp_dt * jnp.sum(rot_err * ax, -1)))
-        rows_live.append(is_hinge | rot_locked)
+            jnp.where(is_univ & (k_ang == 0), erp_dt * c_perp,
+                      erp_dt * jnp.sum(rot_err * ax, -1))))
+        rows_live.append(is_hinge | rot_locked
+                         | (is_univ if k_ang == 0 else jnp.zeros_like(is_univ)))
         rows_lob.append(-inf_j)
         rows_hib.append(inf_j)
 

@@ -263,3 +263,32 @@ def test_slider_translates_along_axis_only():
     assert abs(s - 1.5) < 0.1, f"limit did not hold: {s}"
     # orientation never changed
     assert abs(float(w.quat[1, 0]) - 1.0) < 1e-3
+
+
+def test_universal_keeps_axes_perpendicular():
+    """Universal joint: anchored spinning body keeps axis1 (a-fixed, x)
+    perpendicular to axis2 (b-fixed, y) while the bob swings and twists."""
+    from rl_ode_physics_tpu.utils import quat as quat_m
+
+    cfg = CFG
+    b = WorldBuilder(cfg, 0)
+    b.add_body_map((0.0, 3.0, 0.0), (0.0, 0.0, 0.0), (0.2, 0.2, 0.2))
+    b.add_body(BodyType.BOX, (1.0, 3.0, 0.0), (0.5, 0.3, 0.3))
+    w = b.finish()
+    # kick it so it swings AND tries to twist
+    w = w.replace(angvel=w.angvel.at[1].set(jnp.asarray([3.0, 0.0, 1.0])))
+    joints = jt.empty_joints(2)
+    joints = jt.add_universal(joints, w, 0, 0, 1, (0.0, 3.0, 0.0),
+                              (1.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+    stepf = make_step_fn(cfg, substeps=8, donate=False, joints=joints)
+    for _ in range(30):
+        w = stepf(w)
+        ra = np.eye(3)
+        rb = np.asarray(quat_m.to_matrix(w.quat[1]))
+        a1 = ra @ np.array([1.0, 0.0, 0.0])
+        a2 = rb @ np.asarray(joints.axis_b[0])
+        dot = abs(float(a1 @ a2))
+        assert dot < 0.08, f"axes no longer perpendicular: {dot}"
+        pa = _anchor_world(w, joints, 0, "a")
+        pb = _anchor_world(w, joints, 0, "b")
+        assert np.linalg.norm(pa - pb) < 0.06
