@@ -71,6 +71,9 @@ __all__ = [
     "set_hinge_motor",
     "hinge_angle",
     "slider_position",
+    "raycast",
+    "raycast_mesh",
+    "RayHits",
     "__version__",
 ]
 
@@ -86,4 +89,9 @@ from rl_ode_physics_tpu.ops.joints import (   # noqa: E402
     set_hinge_motor,
     hinge_angle,
     slider_position,
+)
+from rl_ode_physics_tpu.ops.raycast import (   # noqa: E402
+    RayHits,
+    raycast,
+    raycast_mesh,
 )
