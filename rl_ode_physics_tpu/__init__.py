@@ -71,6 +71,7 @@ __all__ = [
     "set_hinge_motor",
     "hinge_angle",
     "slider_position",
+    "joint_feedback",
     "raycast",
     "raycast_mesh",
     "RayHits",
@@ -89,6 +90,7 @@ from rl_ode_physics_tpu.ops.joints import (   # noqa: E402
     set_hinge_motor,
     hinge_angle,
     slider_position,
+    feedback as joint_feedback,
 )
 from rl_ode_physics_tpu.ops.raycast import (   # noqa: E402
     RayHits,

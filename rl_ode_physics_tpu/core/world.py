@@ -295,11 +295,22 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
         from rl_ode_physics_tpu.ops.joints import joint_rows
         joints_rows = joint_rows(state, joints, config)
     state = integrator.apply_external_forces(state, config)
-    state = solver_ops.solve(state, contacts, config, joints_rows)
+    joint_fb = None
+    if (joints_rows is not None and with_metrics
+            and config.solver not in (SolverKind.PGS, SolverKind.DANTZIG)):
+        # dJointGetFeedback analog: solved joint impulses → per-joint
+        # constraint forces/torques in the diagnostics stream
+        from rl_ode_physics_tpu.ops.joints import feedback
+        state, jlam = solver_ops.solve_jacobi(
+            state, contacts, config, joints_rows=joints_rows,
+            return_joint_lam=True)
+        joint_fb = feedback(joints_rows, jlam, config.dt)
+    else:
+        state = solver_ops.solve(state, contacts, config, joints_rows)
     state = integrator.integrate_positions(state, config)
     if not with_metrics:
         return state
-    return state, _base_metrics(
+    metrics = _base_metrics(
         state,
         num_pairs=num_pairs,
         num_contacts=contacts.count,
@@ -307,6 +318,9 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
         contact_overflow=contacts.overflow,
         max_penetration=jnp.max(jnp.where(contacts.valid, contacts.depth, 0.0)),
     )
+    if joint_fb is not None:
+        metrics.update({f"joint_{k}": v for k, v in joint_fb.items()})
+    return state, metrics
 
 
 def _base_metrics(state: WorldState, **counters):
@@ -324,7 +338,7 @@ def _base_metrics(state: WorldState, **counters):
 
 
 def step_with_diagnostics(state: WorldState, config: EngineConfig,
-                          trimesh=None, use_pallas=None):
+                          trimesh=None, use_pallas=None, joints=None):
     """``step()`` that also returns per-tick observability counters.
 
     Delegates to the same ``_step_impl`` as production stepping — trimesh
@@ -336,7 +350,7 @@ def step_with_diagnostics(state: WorldState, config: EngineConfig,
             if config.matmul_precision != "default" else contextlib.nullcontext())
     with prec:
         return _step_impl(state, config, trimesh, use_pallas,
-                          with_metrics=True)
+                          with_metrics=True, joints=joints)
 
 
 def make_step_fn(config: EngineConfig, substeps: int = 1, donate: bool = True,

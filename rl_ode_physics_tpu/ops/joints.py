@@ -71,6 +71,7 @@ class JointSet:
     ref_b: jnp.ndarray       # (J, 3) the same world vector in b's frame
     lo: jnp.ndarray          # (J,) hinge angle lo stop (dParamLoStop)
     hi: jnp.ndarray          # (J,) hinge angle hi stop (dParamHiStop)
+    stop_bounce: jnp.ndarray  # (J,) stop restitution (dParamBounce, 0=off)
     motor_vel: jnp.ndarray   # (J,) motor target angular velocity (dParamVel)
     motor_fmax: jnp.ndarray  # (J,) motor max torque, 0 = off (dParamFMax)
 
@@ -90,7 +91,8 @@ def empty_joints(capacity: int, dtype=jnp.float32) -> JointSet:
                     b=jnp.zeros((capacity,), jnp.int32),
                     anchor_a=z3, anchor_b=z3, axis_a=ax, axis_b=ax,
                     ref_a=rf, ref_b=rf,
-                    lo=-inf, hi=inf, motor_vel=z, motor_fmax=z)
+                    lo=-inf, hi=inf, stop_bounce=z, motor_vel=z,
+                    motor_fmax=z)
 
 
 def _to_local(state: WorldState, body, world_point):
@@ -133,11 +135,15 @@ def add_hinge(joints: JointSet, state: WorldState, slot: int,
     )
 
 
-def set_hinge_limits(joints: JointSet, slot: int, lo, hi) -> JointSet:
-    """dJointSetHingeParam(dParamLoStop / dParamHiStop). Angles in radians
-    relative to the creation pose; ERP-driven stops (no stop bounce)."""
+def set_hinge_limits(joints: JointSet, slot: int, lo, hi,
+                     bounce=0.0) -> JointSet:
+    """dJointSetHingeParam(dParamLoStop / dParamHiStop / dParamBounce).
+    Angles in radians (hinge) or meters (slider) relative to the creation
+    pose. ``bounce`` > 0 makes the stop restitute the approach velocity
+    like ODE's dParamBounce."""
     return joints.replace(lo=joints.lo.at[slot].set(lo),
-                          hi=joints.hi.at[slot].set(hi))
+                          hi=joints.hi.at[slot].set(hi),
+                          stop_bounce=joints.stop_bounce.at[slot].set(bounce))
 
 
 def set_hinge_motor(joints: JointSet, slot: int, vel, fmax) -> JointSet:
@@ -401,6 +407,22 @@ def joint_rows(state: WorldState, joints: JointSet, config: EngineConfig):
     above = coord > joints.hi
     stop_target = jnp.where(below, erp_dt * (joints.lo - coord),
                             erp_dt * (joints.hi - coord))
+    # dParamBounce: if approaching the stop faster than bounce_vel, the
+    # target restitutes the pre-solve approach velocity (like contact
+    # restitution, src/main.c:685-687 semantics applied to the stop)
+    wvel = state.angvel
+    axis_rel = (jnp.sum(wvel[b] * axis_w, -1)
+                - jnp.sum(wvel[a] * axis_w, -1))
+    lin_rel = (jnp.sum(state.linvel[b] * axis_w, -1)
+               - jnp.sum(state.linvel[a] * axis_w, -1))
+    coord_vel = jnp.where(is_slider, lin_rel, axis_rel)
+    approaching = jnp.where(below, coord_vel < 0.0, coord_vel > 0.0)
+    bounce_target = jnp.where(
+        approaching & (joints.stop_bounce > 0.0)
+        & (jnp.abs(coord_vel) > config.bounce_vel),
+        -joints.stop_bounce * coord_vel, 0.0)
+    stop_target = jnp.where(below, jnp.maximum(stop_target, bounce_target),
+                            jnp.minimum(stop_target, bounce_target))
     lim_n = sel3(is_slider, axis_w, jnp.zeros((jcap, 3), f))
     rows_n.append(lim_n)
     rows_wa.append(sel3(is_hinge, axis_w, jnp.cross(arm_a, lim_n)))
@@ -495,3 +517,21 @@ def joint_iteration(vel8, rows, lam, omega, cfm_term, parallel=True):
          jnp.zeros((imp.shape[0], 2), f)], -1)
     dv = oh_a.T @ contrib_a + oh_b.T @ contrib_b          # (N, 8)
     return vel8 + dv, lam
+
+
+def feedback(rows, lam, dt: float):
+    """dJointGetFeedback analog: constraint force/torque applied to each
+    body by each joint, from the solved per-row impulses ``lam`` (R,).
+
+    Returns dict of (J, 3) world-frame arrays: force_a/torque_a applied to
+    body a, force_b/torque_b to body b (forces = impulse / dt, like ODE's
+    feedback which reports the last step's constraint force).
+    """
+    rpj = ROWS_PER_JOINT
+    r = lam.shape[0]
+    jcap = r // rpj
+    lam_c = lam[:, None]
+    f_b = (rows["n"] * lam_c).reshape(jcap, rpj, 3).sum(1) / dt
+    t_b = (rows["wb"] * lam_c).reshape(jcap, rpj, 3).sum(1) / dt
+    t_a = -(rows["wa"] * lam_c).reshape(jcap, rpj, 3).sum(1) / dt
+    return dict(force_a=-f_b, torque_a=t_a, force_b=f_b, torque_b=t_b)

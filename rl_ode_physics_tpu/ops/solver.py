@@ -401,7 +401,7 @@ def pack_solver_inputs(state: WorldState, contacts: Contacts,
 
 def solve_jacobi(state: WorldState, contacts: Contacts,
                  config: EngineConfig, lam0=None, return_lam: bool = False,
-                 joints_rows=None):
+                 joints_rows=None, return_joint_lam: bool = False):
     """Batched projected Jacobi with mass splitting — the throughput solver.
 
     Every iteration is a fully parallel, *gather-only* pass:
@@ -555,7 +555,10 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
         0, config.solver_iterations, one_iter, carry
     )
     vel8, lam_n, lam_t1, lam_t2 = out_carry[:4]
+    jlam_out = out_carry[-1] if with_joints else None
     out = state.replace(linvel=vel8[:, 0:3], angvel=vel8[:, 3:6])
+    if return_joint_lam:
+        return out, jlam_out
     if return_lam:
         return out, jnp.concatenate([lam_n, lam_t1, lam_t2], axis=-1)
     return out

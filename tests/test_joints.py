@@ -292,3 +292,59 @@ def test_universal_keeps_axes_perpendicular():
         pa = _anchor_world(w, joints, 0, "a")
         pb = _anchor_world(w, joints, 0, "b")
         assert np.linalg.norm(pa - pb) < 0.06
+
+
+def test_hinge_stop_bounce():
+    """dParamBounce: with bounce=0.8 the door rebounds off the stop with
+    a substantial fraction of its approach speed; with bounce=0 it stays."""
+    def run(bounce):
+        cfg = CFG
+        b = WorldBuilder(cfg, 0)
+        b.add_body_map((0.0, 3.0, 0.0), (0.0, 0.0, 0.0), (0.2, 0.2, 0.2))
+        b.add_body(BodyType.BOX, (1.0, 3.0, 0.0), (1.6, 0.2, 0.2))
+        w = b.finish()
+        joints = jt.empty_joints(2)
+        joints = jt.add_hinge(joints, w, 0, 0, 1, (0.0, 3.0, 0.0),
+                              (0.0, 0.0, 1.0))
+        joints = jt.set_hinge_limits(joints, 0, lo=-np.pi / 4, hi=np.pi / 4,
+                                     bounce=bounce)
+        stepf = make_step_fn(cfg, substeps=8, donate=False, joints=joints)
+        hit_speed = rebound = 0.0
+        hit = False
+        for _ in range(40):
+            w = stepf(w)
+            wz = float(w.angvel[1, 2])
+            ang = float(jt.hinge_angle(w, joints)[0])
+            if not hit and ang < -np.pi / 4 + 0.08:
+                hit = True
+                hit_speed = abs(wz)
+            elif hit:
+                rebound = max(rebound, wz)   # positive wz = swinging back up
+        return hit_speed, rebound
+
+    hs_b, reb_b = run(0.8)
+    hs_0, reb_0 = run(0.0)
+    assert hs_b > 0.5, "door never reached the stop"
+    assert reb_b > 0.3 * hs_b, f"no rebound with bounce=0.8: {reb_b} vs {hs_b}"
+    assert reb_0 < 0.5 * reb_b, f"bounce=0 rebounded too much: {reb_0}"
+
+
+def test_joint_feedback_reports_pendulum_weight():
+    """dJointGetFeedback analog: a bob hanging at rest below a ball joint
+    reports a constraint force on the bob equal to +m·g (holding it up)."""
+    from rl_ode_physics_tpu.core.world import step_with_diagnostics
+
+    cfg = CFG
+    b = WorldBuilder(cfg, 0)
+    b.add_body_map((0.0, 3.0, 0.0), (0.0, 0.0, 0.0), (0.2, 0.2, 0.2))
+    b.add_body(BodyType.BOX, (0.0, 2.0, 0.0), (0.3, 0.3, 0.3))
+    w = b.finish()
+    joints = jt.empty_joints(2)
+    joints = jt.add_ball(joints, w, 0, 0, 1, (0.0, 3.0, 0.0))
+    f = jax.jit(lambda s: step_with_diagnostics(s, cfg, joints=joints))
+    for _ in range(200):
+        w, m = f(w)
+    fb = np.asarray(m["joint_force_b"][0])     # force on body b (the bob)
+    # default mass 1, |g| = 9.81: joint holds the bob up against gravity
+    assert abs(fb[1] - 9.81) < 0.6, f"vertical hold force {fb}"
+    assert abs(fb[0]) < 0.6 and abs(fb[2]) < 0.6
