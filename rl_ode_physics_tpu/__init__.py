@@ -37,6 +37,7 @@ from rl_ode_physics_tpu.core.world import (
     add_torque,
     release_body,
     set_body_pose,
+    set_body_surface,
     step,
     step_with_diagnostics,
     make_step_fn,
@@ -57,6 +58,7 @@ __all__ = [
     "add_torque",
     "release_body",
     "set_body_pose",
+    "set_body_surface",
     "step",
     "step_with_diagnostics",
     "make_step_fn",

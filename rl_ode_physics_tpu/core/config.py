@@ -70,6 +70,11 @@ class EngineConfig:
     # reaches plain-Jacobi-at-20-iterations solution quality in fewer
     # sweeps (measured by benchmarks/solver_convergence.py).
     jacobi_beta: float = 0.0
+    # per-body surface parameters: contact rows mix the two bodies'
+    # WorldState.friction/restitution as min(mu) / max(bounce) instead of
+    # using the global mu/bounce (beyond parity — ODE sets these per
+    # contact in the NearCallback). JACOBI/PGS/FUSED-fallback only.
+    per_body_surface: bool = False
     erp: float = 0.2                 # ODE default (never overridden by ref)
     cfm: float = 1e-5                # ODE dSINGLE default
     max_correcting_vel: float = 1e30  # ODE dWorldSetContactMaxCorrectingVel default (inf)

@@ -81,6 +81,14 @@ class WorldState:
     is_static: jnp.ndarray     # (N,) bool — geom without a body (src/main.c:753)
     is_kinematic: jnp.ndarray  # (N,) bool — dBodySetKinematic (src/main.c:712)
 
+    # per-body surface parameters (beyond-parity: ODE sets these per
+    # contact in the NearCallback; here each body carries its own and pair
+    # values mix as min(friction), max(restitution) when
+    # EngineConfig.per_body_surface is on — otherwise the global config
+    # values apply and these fields are inert)
+    friction: jnp.ndarray     # (N,) mu (inf = unbounded, the ref default)
+    restitution: jnp.ndarray  # (N,) bounce in [0, 1]
+
     # presentation state carried for snapshot parity (BodyState.col, inc/body.h:30)
     color: jnp.ndarray      # (N, 4) uint8 rgba
 
@@ -125,6 +133,8 @@ def create_world(config: EngineConfig, seed: int = 0) -> WorldState:
         collide=jnp.zeros((n,), dtype=jnp.uint32),
         is_static=jnp.zeros((n,), dtype=bool),
         is_kinematic=jnp.zeros((n,), dtype=bool),
+        friction=jnp.full((n,), config.mu, dtype=f),
+        restitution=jnp.full((n,), config.bounce, dtype=f),
         color=jnp.zeros((n, 4), dtype=jnp.uint8),
         tick=jnp.zeros((), dtype=jnp.int32),
         rng_state=jnp.asarray(seed, dtype=jnp.uint32),

@@ -194,6 +194,22 @@ def set_body_pose(state: WorldState, slot, pos=None, quat=None,
     return state.replace(**updates)
 
 
+def set_body_surface(state: WorldState, slot, friction=None,
+                     restitution=None) -> WorldState:
+    """Per-body contact surface parameters (used when
+    ``EngineConfig.per_body_surface`` is on; pair mixing is min(friction),
+    max(restitution)). The ODE analog is setting dSurfaceParameters per
+    contact in the NearCallback."""
+    updates = {}
+    if friction is not None:
+        updates["friction"] = state.friction.at[slot].set(
+            jnp.asarray(friction, state.friction.dtype))
+    if restitution is not None:
+        updates["restitution"] = state.restitution.at[slot].set(
+            jnp.asarray(restitution, state.restitution.dtype))
+    return state.replace(**updates)
+
+
 def add_force(state: WorldState, slot, force) -> WorldState:
     """dBodyAddForce analog (accumulator, cleared by the integrator)."""
     return state.replace(
@@ -265,7 +281,8 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
         )
 
     if (config.solver is SolverKind.FUSED and trimesh is None
-            and joints is None and _pallas_available()):
+            and joints is None and not config.per_body_surface
+            and _pallas_available()):
         from rl_ode_physics_tpu.ops import megakernel
         return megakernel.fused_step(state, config, with_metrics=with_metrics)
     # FUSED off-TPU or with a trimesh attached falls through to the regular

@@ -106,6 +106,8 @@ class WorldBuilder:
             collide=jnp.asarray(self.collide),
             is_static=jnp.asarray(self.is_static),
             is_kinematic=jnp.asarray(self.is_kinematic),
+            friction=jnp.full((len(self.pos),), self.config.mu, f),
+            restitution=jnp.full((len(self.pos),), self.config.bounce, f),
             color=jnp.asarray(self.color),
             tick=jnp.zeros((), jnp.int32),
             rng_state=jnp.asarray(self.seed, jnp.uint32),

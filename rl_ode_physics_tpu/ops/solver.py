@@ -72,19 +72,27 @@ def _gather_body_features(state: WorldState, s_mat, kappa):
     n = state.num_slots
     c = s_mat.shape[0] // 2
     inv_i = world_inv_inertia(state)                    # (N, 3, 3)
+    # friction rides the selector matmul too, but inf (the reference's mu)
+    # cannot go through a 0/1 matmul (0·inf = NaN): ship 1/mu instead
+    # (inf → 0, recovered as 1/max(x, eps) afterwards)
+    inv_mu = 1.0 / jnp.maximum(state.friction, _EPS)
     feats = jnp.concatenate([
         state.pos,
         inv_i.reshape(n, 9),
         state.inv_mass[:, None],
         kappa[:, None],
-    ], axis=-1)                                         # (N, 14)
-    fh = jnp.matmul(s_mat, feats)                       # (2C, 14)
+        inv_mu[:, None],
+        state.restitution[:, None],
+    ], axis=-1)                                         # (N, 16)
+    fh = jnp.matmul(s_mat, feats)                       # (2C, 16)
     return dict(
         pos_a=fh[:c, 0:3], pos_b=fh[c:, 0:3],
         inv_i_a=fh[:c, 3:12].reshape(c, 3, 3),
         inv_i_b=fh[c:, 3:12].reshape(c, 3, 3),
         inv_m_a=fh[:c, 12], inv_m_b=fh[c:, 12],
         kappa_a=fh[:c, 13], kappa_b=fh[c:, 13],
+        inv_mu_a=fh[:c, 14], inv_mu_b=fh[c:, 14],
+        bounce_a=fh[:c, 15], bounce_b=fh[c:, 15],
         inv_i=inv_i,
         s_mat=s_mat,
     )
@@ -152,8 +160,25 @@ def _row_data(state: WorldState, contacts: Contacts, config: EngineConfig,
 
     bias = jnp.minimum(config.erp * contacts.depth / dt,
                        config.max_correcting_vel)
+    mu_row = None
+    if config.per_body_surface:
+        # pair mixing: min(friction) (via max of the shipped inverses),
+        # max(restitution) — documented rules; ODE leaves mixing to the
+        # NearCallback
+        if gathered is None:
+            mu_row = jnp.minimum(state.friction[a], state.friction[b])
+            bounce_row = jnp.maximum(state.restitution[a],
+                                     state.restitution[b])
+        else:
+            inv_mu = jnp.maximum(gathered["inv_mu_a"], gathered["inv_mu_b"])
+            mu_row = jnp.where(inv_mu > _EPS, 1.0 / jnp.maximum(inv_mu, _EPS),
+                               jnp.inf)
+            bounce_row = jnp.maximum(gathered["bounce_a"],
+                                     gathered["bounce_b"])
+    else:
+        bounce_row = config.bounce
     bounce_target = jnp.where(
-        -v_n0 > config.bounce_vel, -config.bounce * v_n0, 0.0
+        -v_n0 > config.bounce_vel, -bounce_row * v_n0, 0.0
     )
     target = jnp.maximum(bias, bounce_target)
     target = jnp.where(contacts.valid, target, 0.0)
@@ -161,7 +186,7 @@ def _row_data(state: WorldState, contacts: Contacts, config: EngineConfig,
     return dict(
         r_a=r_a, r_b=r_b, n=n, t1=t1, t2=t2,
         d_n=d_n, d_t1=d_t1, d_t2=d_t2,
-        target=target, inv_i=inv_i,
+        target=target, inv_i=inv_i, mu=mu_row,
     )
 
 
@@ -227,7 +252,11 @@ def solve_pgs(state: WorldState, contacts: Contacts,
 
         # friction rows (target velocity 0, bound mu*lam_n)
         if config.friction:
-            bound = jnp.inf if mu_inf else config.mu * lam_n[i]
+            if config.per_body_surface:
+                mu_i = rows["mu"][i]
+                bound = jnp.where(jnp.isinf(mu_i), jnp.inf, mu_i * lam_n[i])
+            else:
+                bound = jnp.inf if mu_inf else config.mu * lam_n[i]
             t1 = rows["t1"][i]
             dls = omega * (0.0 - rel_v(t1)
                            - cfm_term * lam_t1[i]) / rows["d_t1"][i]
@@ -396,7 +425,8 @@ def pack_solver_inputs(state: WorldState, contacts: Contacts,
     vel = jnp.concatenate(
         [state.linvel, state.angvel,
          jnp.zeros(state.linvel.shape[:-1] + (2,), f)], axis=-1)  # (N, 8)
-    return s_mat, rowdata, halfop, vel
+    extras = {"mu": rows["mu"]}          # per-row friction, or None
+    return s_mat, rowdata, halfop, vel, extras
 
 
 def solve_jacobi(state: WorldState, contacts: Contacts,
@@ -429,7 +459,8 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
     c = contacts.a.shape[0]
     f = state.linvel.dtype
 
-    s_mat, rows, hop, vel0 = pack_solver_inputs(state, contacts, config)
+    s_mat, rows, hop, vel0, extras = pack_solver_inputs(
+        state, contacts, config)
 
     n_ax, t1_ax, t2_ax = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
     rxa_n, rxb_n = rows[:, 9:12], rows[:, 12:15]
@@ -505,8 +536,15 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
         lam_n = lam_n + dl_n
 
         if config.friction:
-            bound = (jnp.full_like(lam_n, jnp.inf) if mu_inf
-                     else config.mu * lam_n)
+            if config.per_body_surface:
+                mu_c = extras["mu"][:, None]              # (C, 1)
+                bound = jnp.where(jnp.isinf(mu_c),
+                                  jnp.full_like(lam_n, jnp.inf),
+                                  mu_c * lam_n)
+            elif mu_inf:
+                bound = jnp.full_like(lam_n, jnp.inf)
+            else:
+                bound = config.mu * lam_n
             dl_1 = omega * (-rel(t1_ax, rxa_1, rxb_1)
                             - cfm_term * lam_t1) / d_t1 + mom_1
             new_1 = jnp.clip(lam_t1 + dl_1, -bound, bound)
@@ -566,6 +604,10 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
 
 def solve(state: WorldState, contacts: Contacts,
           config: EngineConfig, joints_rows=None) -> WorldState:
+    if config.per_body_surface and config.solver is SolverKind.DANTZIG:
+        raise ValueError(
+            "per_body_surface is not supported by the DANTZIG direct "
+            "solver; use JACOBI or PGS")
     if config.solver is SolverKind.PGS:
         return solve_pgs(state, contacts, config, joints_rows=joints_rows)
     if config.solver is SolverKind.DANTZIG:

@@ -54,8 +54,9 @@ def _pack_inputs(state: WorldState, contacts: Contacts,
                  config: EngineConfig):
     """Per-world solver constants, packed for the kernel — the shared
     once-per-substep precompute (``ops.solver.pack_solver_inputs``, also
-    consumed by the jnp Jacobi loop and the FUSED megakernel)."""
-    return sol.pack_solver_inputs(state, contacts, config)
+    consumed by the jnp Jacobi loop and the FUSED megakernel). The kernels
+    use the global-surface path (per_body_surface extras are dropped)."""
+    return sol.pack_solver_inputs(state, contacts, config)[:4]
 
 
 def _kernel_factory(c: int, iterations: int, omega: float, mu: float,

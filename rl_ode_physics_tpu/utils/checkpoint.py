@@ -66,7 +66,18 @@ def load(path: str):
         if "__config__" in z:
             config = _config_from_meta(bytes(z["__config__"]).decode())
         import jax.numpy as jnp
-        state = WorldState(**{name: jnp.asarray(z[name]) for name in _FIELDS})
+        arrays = {name: jnp.asarray(z[name]) for name in _FIELDS
+                  if name in z}
+        # forward-compat: checkpoints written before per-body surface
+        # params get the config (or ODE-default) values
+        if "friction" in _FIELDS and "friction" not in arrays:
+            n = arrays["pos"].shape[-2]
+            f = arrays["pos"].dtype
+            mu = config.mu if config is not None else float("inf")
+            bo = config.bounce if config is not None else 0.2
+            arrays["friction"] = jnp.full((n,), mu, f)
+            arrays["restitution"] = jnp.full((n,), bo, f)
+        state = WorldState(**arrays)
     return state, config
 
 
