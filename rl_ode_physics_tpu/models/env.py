@@ -19,6 +19,9 @@ functional, fully jittable environment:
   state), keeping this layer task-agnostic.
 * ``substeps`` physics substeps (120 Hz) per control step — the reference's
   2 substeps per 60 Hz broadcast.
+* optional ``lidar``: body-attached ray fans (``ops/raycast``) appended to
+  the observation — (num_rays,) distances per actor, the standard RL
+  range-sensor channel.
 """
 
 from __future__ import annotations
@@ -47,13 +50,19 @@ class PhysicsEnv:
                  scene_fn: Callable[[EngineConfig, int], WorldState],
                  actor_slots: Sequence[int] = (),
                  num_worlds: int = 1, substeps: int = 2,
-                 trimesh=None):
+                 trimesh=None, lidar_dirs=None, lidar_range: float = 50.0):
+        """``lidar_dirs``: optional (R, 3) body-frame ray directions; each
+        actor casts them from its position every step and the normalized
+        hit distances (R,) are appended to the observation."""
         self.config = config
         self.scene_fn = scene_fn
         self.actor_slots = jnp.asarray(list(actor_slots), jnp.int32)
         self.num_worlds = num_worlds
         self.substeps = substeps
         self.trimesh = trimesh
+        self.lidar_dirs = (None if lidar_dirs is None
+                           else jnp.asarray(lidar_dirs, jnp.float32))
+        self.lidar_range = lidar_range
         self._step = self._build_step()
 
     @property
@@ -95,11 +104,32 @@ class PhysicsEnv:
             return state
 
         batched = jax.vmap(single)
+        lidar_dirs = self.lidar_dirs
+        lidar_range = self.lidar_range
+
+        def sense(state: WorldState) -> jnp.ndarray:
+            """(A, R) normalized lidar distances for one world (vmapped)."""
+            from rl_ode_physics_tpu.ops.raycast import raycast
+            from rl_ode_physics_tpu.utils import quat as quat_m
+
+            r_mat = quat_m.to_matrix(state.quat[actor_slots])   # (A, 3, 3)
+            dirs = jnp.einsum("aij,rj->ari", r_mat, lidar_dirs)  # (A, R, 3)
+            origins = jnp.broadcast_to(
+                state.pos[actor_slots][:, None, :], dirs.shape)
+            rr = lidar_dirs.shape[0]
+            hits = raycast(state, origins.reshape(-1, 3),
+                           dirs.reshape(-1, 3), config,
+                           max_dist=lidar_range)
+            return hits.t.reshape(actor_slots.shape[0], rr) / lidar_range
 
         @jax.jit
         def env_step(state: WorldState, actions: jnp.ndarray):
             new_state = batched(state, actions)
-            return new_state, observe(new_state)
+            obs = observe(new_state)
+            if lidar_dirs is not None and actor_slots.shape[0]:
+                lid = jax.vmap(sense)(new_state)        # (B, A, R)
+                obs = (obs, lid)
+            return new_state, obs
 
         return env_step
 

@@ -104,3 +104,29 @@ def test_raycast_under_jit_vmap():
     assert hits.t.shape == (4, 3)
     assert bool(np.asarray(hits.hit).all())
     np.testing.assert_allclose(np.asarray(hits.t), 4.0, atol=1e-5)
+
+
+def test_env_lidar_channel():
+    """PhysicsEnv with a lidar fan: the observation gains (B, A, R)
+    normalized distances that see the floor below the actor."""
+    from rl_ode_physics_tpu.models.env import PhysicsEnv
+    from rl_ode_physics_tpu.models.builder import WorldBuilder
+
+    def scene(cfg, seed):
+        b = WorldBuilder(cfg, seed)
+        b.add_body_map((0.0, -0.5, 0.0), (0.0, 0.0, 0.0), (40.0, 1.0, 40.0))
+        b.add_body(BodyType.SPHERE, (0.0, 3.0, 0.0), (0.3, 0.0, 0.0))
+        return b.finish()
+
+    dirs = [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    env = PhysicsEnv(CFG, scene, actor_slots=[1], num_worlds=2,
+                     substeps=1, lidar_dirs=dirs, lidar_range=20.0)
+    state, _ = env.reset()
+    actions = jnp.zeros((2, 1, 6))
+    state, (obs, lidar) = env.step(state, actions)
+    assert lidar.shape == (2, 1, 3)
+    down = float(lidar[0, 0, 0]) * 20.0
+    # sphere at ~3 falling a step; floor top at 0 → ray hits ~2.7-3.0 away
+    assert 2.0 < down < 3.2
+    # up-ray misses: normalized distance 1.0
+    assert abs(float(lidar[0, 0, 2]) - 1.0) < 1e-5
