@@ -24,3 +24,11 @@ def test_minimal_server_client_pair():
     finally:
         server.kill()
         server.wait()
+
+
+def test_articulated_example_runs():
+    out = subprocess.run(
+        [sys.executable, "examples/articulated.py", "8"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "DONE: arm swept" in out.stdout
