@@ -1,4 +1,4 @@
-"""Bilateral joints (ball-and-socket, hinge) as unclamped solver rows.
+"""Bilateral joints (ball, hinge, fixed, slider, universal) as solver rows.
 
 Beyond-parity capability (docs/ROADMAP.md §4): the reference game uses only
 contact joints (``dJointCreateContact``, /root/reference/src/main.c:682),
@@ -60,7 +60,7 @@ class JointSet:
     """Fixed-capacity joint table (a pytree — pass to ``make_step_fn`` /
     ``step`` like the trimesh; update between steps to add/remove)."""
 
-    kind: jnp.ndarray        # (J,) int32 — JOINT_NONE/BALL/HINGE
+    kind: jnp.ndarray        # (J,) int32 — JOINT_* code (0 = empty slot)
     a: jnp.ndarray           # (J,) int32 body slot
     b: jnp.ndarray           # (J,) int32 body slot
     anchor_a: jnp.ndarray    # (J, 3) anchor in a's local frame
@@ -271,7 +271,7 @@ def connected_mask(joints: JointSet, num_slots: int) -> jnp.ndarray:
 
 
 def joint_rows(state: WorldState, joints: JointSet, config: EngineConfig):
-    """Per-step packed bilateral rows (R = J·5, all fixed-shape):
+    """Per-step packed bilateral rows (R = J·ROWS_PER_JOINT, fixed-shape):
 
     returns dict of (R, …) arrays: body indices, linear axis ``n`` (zero
     for angular rows), rel-velocity angular weights ``wa``/``wb``
@@ -399,8 +399,7 @@ def joint_rows(state: WorldState, joints: JointSet, config: EngineConfig):
     rows_hib.append(jnp.where(is_fixed, inf_j, joints.motor_fmax * dt))
 
     # limit row: one-sided stop when the hinge angle / slide position is
-    # outside [lo, hi] (ERP-driven, no stop bounce — documented deviation
-    # from dParamBounce)
+    # outside [lo, hi] (ERP-driven, optionally restituting — dParamBounce)
     coord = jnp.where(is_slider, slider_position(state, joints),
                       hinge_angle(state, joints))
     below = coord < joints.lo
@@ -478,7 +477,8 @@ def joint_rows(state: WorldState, joints: JointSet, config: EngineConfig):
 
 
 def joint_iteration(vel8, rows, lam, omega, cfm_term, parallel=True):
-    """One unclamped relaxation pass over all joint rows.
+    """One relaxation pass over all joint rows (equality rows have ±inf
+    clamp bounds; motor/limit rows are clamped).
 
     ``vel8``: (N, 8) packed [linvel ‖ angvel ‖ pad] (the Jacobi solver's
     carry). Gather-compute-scatter with one-hot matmuls, like the contact

@@ -89,3 +89,31 @@ def test_pgs_honors_per_body_mu():
     for _ in range(10):
         w = stepf(w)
     assert float(w.linvel[1, 0]) > 3.0
+
+
+def test_surface_params_compose_with_typed_buckets():
+    """per_body_surface works through the typed-bucket narrowphase path."""
+    cfg = CFG.replace(typed_buckets=True)
+    w = _floor_world((BodyType.BOX, (0.0, 0.4, 0.0), (0.8, 0.8, 0.8)))
+    w = w.replace(linvel=w.linvel.at[1, 0].set(4.0))
+    w = set_body_surface(w, 1, friction=0.0)
+    stepf = make_step_fn(cfg, substeps=8, donate=False)
+    for _ in range(10):
+        w = stepf(w)
+    assert float(w.linvel[1, 0]) > 3.0
+
+
+def test_surface_params_compose_with_warmstart():
+    import jax as _jax
+    from rl_ode_physics_tpu.ops.warmstart import make_warm_step_fn, init_cache
+
+    cfg = CFG
+    w = _floor_world((BodyType.SPHERE, (0.0, 2.0, 0.0), (0.5, 0.0, 0.0)))
+    w = set_body_surface(w, 1, restitution=0.0)
+    stepf = _jax.jit(make_warm_step_fn(cfg))
+    cache = init_cache(cfg)
+    for _ in range(320):
+        w, cache = stepf(w, cache)
+    # dead sphere settles on the floor without residual bouncing
+    assert abs(float(w.pos[1, 1]) - 0.5) < 0.03
+    assert abs(float(w.linvel[1, 1])) < 0.05
