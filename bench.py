@@ -73,6 +73,7 @@ def main():
         # its intrinsic manifold size. Caps carry >=28% headroom over the
         # measured per-bucket peaks across seeds {42,7,123,999} (ss 75,
         # sb 74, bb 30) with overflow counters zero through settling.
+        solver_matmul_dtype=os.environ.get("BENCH_MM_DTYPE", "float32"),
         typed_buckets=os.environ.get("BENCH_TYPED", "1") != "0",
         bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
     )

@@ -74,6 +74,20 @@ def make_batched_step_fn(config: EngineConfig, substeps: int = 1,
     proportionally longer compiles.
     """
     def fn(batch: WorldState) -> WorldState:
+        if config.dense_pipeline:
+            # the dense pipeline's (N, N, K, 3) intermediates tile-pad ~42x
+            # on TPU (docs/BENCHMARKS.md); refuse batch sizes that would
+            # OOM instead of letting the flag foot-gun (VERDICT r1 note)
+            n = config.max_bodies
+            worlds = batch.pos.shape[0] if batch.pos.ndim == 3 else 1
+            per_chunk = chunk or worlds
+            padded_gb = per_chunk * n * n * config.max_contacts_per_pair                 * 4 * 128 / 3 / 1e9
+            if padded_gb > 8.0:
+                raise ValueError(
+                    f"dense_pipeline at {per_chunk} worlds x {n} bodies "
+                    f"needs ~{padded_gb:.0f} GB of padded intermediates on "
+                    f"TPU; use the sparse pipeline or chunk<="
+                    f"{max(1, int(per_chunk * 8.0 / padded_gb))}")
         def substep_loop(b):
             if substeps == 1:
                 return batched_step(b, config)
