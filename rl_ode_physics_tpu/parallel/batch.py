@@ -81,7 +81,11 @@ def make_batched_step_fn(config: EngineConfig, substeps: int = 1,
             n = config.max_bodies
             worlds = batch.pos.shape[0] if batch.pos.ndim == 3 else 1
             per_chunk = chunk or worlds
-            padded_gb = per_chunk * n * n * config.max_contacts_per_pair                 * 4 * 128 / 3 / 1e9
+            # a padded (N, N, K, 3) f32 tensor tiles to (N, N, ceil8(K),
+            # 128) and ~3 are live at once (26 GB measured at 512 worlds
+            # x 64 bodies x K=4)
+            k_pad = -(-config.max_contacts_per_pair // 8) * 8
+            padded_gb = 3 * per_chunk * n * n * k_pad * 128 * 4 / 1e9
             if padded_gb > 8.0:
                 raise ValueError(
                     f"dense_pipeline at {per_chunk} worlds x {n} bodies "
