@@ -479,21 +479,39 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
     mm_dtype = jnp.dtype(config.solver_matmul_dtype)
     s_mm = s_mat.astype(mm_dtype)
     s_mm_t = s_mm.T
-    def scatter(imp):
-        """(C, 3) impulse → (N, 8) Δvel: per-half-row contributions via the
-        packed 9-plane angular operator (no (…,3,3) tensors), then one MXU
-        scatter matmul. (A split-halves two-matmul variant measured 1.5×
-        SLOWER end-to-end — XLA fused the halves pathologically.)"""
-        imp_h = jnp.concatenate([imp, imp], axis=0)           # (2C, 3)
-        ix, iy, iz = imp_h[:, 0:1], imp_h[:, 1:2], imp_h[:, 2:3]
+    def _axis_contrib_op(axis_rows):
+        """(C, 3) constraint axis → (2C, 8) per-half-row Δv response per
+        unit impulse magnitude, via the packed 9-plane angular operator
+        (no (…,3,3) tensors). Computed ONCE per substep per axis so the
+        iteration loop's scatter is 3 multiply-adds of (2C, 8) planes —
+        the old in-loop formulation (duplicate the (C, 3) impulse, 9
+        plane products, assemble) measured ~0.5 ms/substep of loop work.
+        (A split-halves two-matmul scatter variant measured 1.5× SLOWER
+        end-to-end — XLA fused the halves pathologically.)"""
+        ax_h = jnp.concatenate([axis_rows, axis_rows], axis=0)   # (2C, 3)
+        ix, iy, iz = ax_h[:, 0:1], ax_h[:, 1:2], ax_h[:, 2:3]
         angx = h[:, 0:1] * ix + h[:, 1:2] * iy + h[:, 2:3] * iz
         angy = h[:, 3:4] * ix + h[:, 4:5] * iy + h[:, 5:6] * iz
         angz = h[:, 6:7] * ix + h[:, 7:8] * iy + h[:, 8:9] * iz
-        contrib = jnp.concatenate(
-            [lin_sc * imp_h, angx, angy, angz,
-             jnp.zeros_like(imp_h[:, 0:2])], axis=-1)         # (2C, 8)
+        return jnp.concatenate(
+            [lin_sc * ax_h, angx, angy, angz,
+             jnp.zeros_like(ax_h[:, 0:2])], axis=-1)             # (2C, 8)
+
+    k_op_n = _axis_contrib_op(n_ax)
+    if config.friction:
+        k_op_1 = _axis_contrib_op(t1_ax)
+        k_op_2 = _axis_contrib_op(t2_ax)
+
+    def scatter_dl(dl_n, dl_1=None, dl_2=None):
+        """Per-axis impulse magnitudes (C, 1) → (N, 8) Δvel via the
+        precomputed response operators + one MXU scatter matmul."""
+        def dup(x):
+            return jnp.concatenate([x, x], axis=0)               # (2C, 1)
+        contrib = k_op_n * dup(dl_n)
+        if dl_1 is not None:
+            contrib = contrib + k_op_1 * dup(dl_1) + k_op_2 * dup(dl_2)
         return jnp.matmul(s_mm_t, contrib.astype(mm_dtype),
-                          preferred_element_type=f)           # (N, 8)
+                          preferred_element_type=f)              # (N, 8)
 
     beta = float(config.jacobi_beta)
     momentum = beta != 0.0
@@ -556,12 +574,12 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
             new_2 = jnp.clip(lam_t2 + dl_2, -bound, bound)
             dl_2 = jnp.where(live, new_2 - lam_t2, 0.0)
             lam_t2 = lam_t2 + dl_2
-            imp = n_ax * dl_n + t1_ax * dl_1 + t2_ax * dl_2   # (C, 3)
+            dv = scatter_dl(dl_n, dl_1, dl_2)
         else:
-            imp = n_ax * dl_n
+            dv = scatter_dl(dl_n)
 
         # MXU scatter-add back into the bodies
-        vel = vel + scatter(imp)
+        vel = vel + dv
         if with_joints:
             # interleaved bilateral pass (unclamped rows) — the iterative
             # analog of ODE folding joint rows into the same LCP
@@ -582,8 +600,10 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
         l_n = jnp.where(live_v, lam0[:, 0], 0.0)[:, None]
         l_1 = jnp.where(live_v, lam0[:, 1], 0.0)[:, None]
         l_2 = jnp.where(live_v, lam0[:, 2], 0.0)[:, None]
-        imp0 = n_ax * l_n + t1_ax * l_1 + t2_ax * l_2
-        vel0 = vel0 + scatter(imp0)
+        if config.friction:
+            vel0 = vel0 + scatter_dl(l_n, l_1, l_2)
+        else:
+            vel0 = vel0 + scatter_dl(l_n)
     carry = (vel0, l_n, l_1, l_2)
     if momentum:
         carry = carry + (l_n, l_1, l_2)
