@@ -502,6 +502,20 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
         k_op_1 = _axis_contrib_op(t1_ax)
         k_op_2 = _axis_contrib_op(t2_ax)
 
+    def _axis_j_op(axis_rows, rxa, rxb):
+        """(C, 3) axis + arm crosses → (2C, 8) J-row weight planes so the
+        per-iteration relative velocity is ONE wide multiply-reduce over
+        the gathered vh: rel = fold(sum(W ⊙ vh)) (a-half + b-half)."""
+        z2 = jnp.zeros_like(axis_rows[:, 0:2])
+        w_a = jnp.concatenate([-axis_rows, -rxa, z2], axis=-1)   # (C, 8)
+        w_b = jnp.concatenate([axis_rows, rxb, z2], axis=-1)
+        return jnp.concatenate([w_a, w_b], axis=0)               # (2C, 8)
+
+    j_op_n = _axis_j_op(n_ax, rxa_n, rxb_n)
+    if config.friction:
+        j_op_1 = _axis_j_op(t1_ax, rxa_1, rxb_1)
+        j_op_2 = _axis_j_op(t2_ax, rxa_2, rxb_2)
+
     def scatter_dl(dl_n, dl_1=None, dl_2=None):
         """Per-axis impulse magnitudes (C, 1) → (N, 8) Δvel via the
         precomputed response operators + one MXU scatter matmul."""
@@ -536,18 +550,16 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
         # one MXU gather for both bodies of every contact
         vh = jnp.matmul(s_mm, vel.astype(mm_dtype),
                         preferred_element_type=f)          # (2C, 8)
-        lin_a, ang_a = vh[:c, 0:3], vh[:c, 3:6]
-        lin_b, ang_b = vh[c:, 0:3], vh[c:, 3:6]
-        dlin = lin_b - lin_a
 
-        def rel(axis, rxa, rxb):
-            return (jnp.sum(dlin * axis, -1, keepdims=True)
-                    + jnp.sum(ang_b * rxb, -1, keepdims=True)
-                    - jnp.sum(ang_a * rxa, -1, keepdims=True))   # (C, 1)
+        def rel(j_op):
+            """Per-row relative velocity: one wide multiply-reduce over
+            the precomputed (2C, 8) J-weight planes, halves folded."""
+            r2 = jnp.sum(j_op * vh, -1, keepdims=True)     # (2C, 1)
+            return r2[:c] + r2[c:]                         # (C, 1)
 
         # residuals include ODE's CFM softening term −cfm/h·λ (QuickStep
         # converges to the regularized system (A + cfm/h·I)λ = rhs)
-        dl_n = omega * (target - rel(n_ax, rxa_n, rxb_n)
+        dl_n = omega * (target - rel(j_op_n)
                         - cfm_term * lam_n) / d_n + mom_n
         new_n = jnp.maximum(lam_n + dl_n, 0.0)
         dl_n = jnp.where(live, new_n - lam_n, 0.0)
@@ -563,13 +575,13 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
                 bound = jnp.full_like(lam_n, jnp.inf)
             else:
                 bound = config.mu * lam_n
-            dl_1 = omega * (-rel(t1_ax, rxa_1, rxb_1)
+            dl_1 = omega * (-rel(j_op_1)
                             - cfm_term * lam_t1) / d_t1 + mom_1
             new_1 = jnp.clip(lam_t1 + dl_1, -bound, bound)
             dl_1 = jnp.where(live, new_1 - lam_t1, 0.0)
             lam_t1 = lam_t1 + dl_1
 
-            dl_2 = omega * (-rel(t2_ax, rxa_2, rxb_2)
+            dl_2 = omega * (-rel(j_op_2)
                             - cfm_term * lam_t2) / d_t2 + mom_2
             new_2 = jnp.clip(lam_t2 + dl_2, -bound, bound)
             dl_2 = jnp.where(live, new_2 - lam_t2, 0.0)
