@@ -783,6 +783,13 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
     k_glob = config.max_contacts_per_pair
     f = state.pos.dtype
 
+    if n * n * k_glob >= 2 ** 24:
+        raise ValueError(
+            f"contact-key space {n * n * k_glob} (max_bodies={n}, "
+            f"K={k_glob}) exceeds f32 exact-integer range 2^24; warm-start "
+            f"keys packed through the f32 payload would silently collide. "
+            f"Reduce max_bodies or max_contacts_per_pair.")
+
     hit, tmin, tmax = _pair_eligibility(state, exclude)
     hit_flat = hit.reshape(n * n)
     tmin_f = tmin.reshape(n * n)
@@ -837,9 +844,11 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
     flat_valid = jnp.concatenate(valid_parts)
 
     if extra is not None:
+        # mesh rows: key −1 = excluded from warm-start matching (their
+        # buffer position is a deepest-k rank that reorders between steps —
+        # see the note in `narrowphase`)
         e_pts, e_nrm, e_dep, e_a, e_b, e_val = extra
-        e_keys = (n * n * k_glob
-                  + jnp.arange(e_a.shape[0], dtype=jnp.int32)).astype(f)
+        e_keys = jnp.full((e_a.shape[0],), -1.0, f)
         packed = jnp.concatenate([packed, jnp.concatenate([
             e_pts, e_nrm, e_dep[:, None],
             e_a.astype(f)[:, None], e_b.astype(f)[:, None],
@@ -909,6 +918,13 @@ def narrowphase(state: WorldState, cand: PairCandidates,
     # stable row identity: pair_flat·K + manifold slot (ia < ib always, so
     # pair_flat = ia·N + ib names the pair across steps); exact in f32 up
     # to N²K < 2^24
+    key_space = n_slots * n_slots * k
+    if key_space >= 2 ** 24:
+        raise ValueError(
+            f"contact-key space {key_space} (max_bodies={n_slots}, K={k}) "
+            f"exceeds f32 exact-integer range 2^24; warm-start keys packed "
+            f"through the f32 payload would silently collide. Reduce "
+            f"max_bodies or max_contacts_per_pair.")
     slot_k = jnp.tile(jnp.arange(k, dtype=jnp.int32), cp)
     keys = ((ia * n_slots + ib).repeat(k) * k + slot_k).astype(f)
     packed = jnp.concatenate([
@@ -923,11 +939,14 @@ def narrowphase(state: WorldState, cand: PairCandidates,
     if extra is not None:
         # extra manifold source (e.g. trimesh narrowphase): flat arrays
         # (points, normals, depths, a, b, valid) appended before compaction.
-        # Mesh-row identity: offset past the primitive key space, then
-        # (body, per-body slot).
+        # Mesh rows carry key −1 (excluded from warm-start matching): their
+        # buffer position is a deepest-k RANK, which reorders between steps
+        # as depths change, so a positional key could re-apply a cached
+        # impulse to a different physical contact. A stable feature id
+        # (triangle index) is lost by the per-body dedup/rank stage;
+        # until it is threaded through, mesh contacts always cold-start.
         e_pts, e_nrm, e_dep, e_a, e_b, e_val = extra
-        e_keys = (n_slots * n_slots * k
-                  + jnp.arange(e_a.shape[0], dtype=jnp.int32)).astype(f)
+        e_keys = jnp.full((e_a.shape[0],), -1.0, f)
         e_packed = jnp.concatenate([
             e_pts, e_nrm, e_dep[:, None],
             e_a.astype(f)[:, None], e_b.astype(f)[:, None],

@@ -455,6 +455,8 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
     the previous structure spent ~1 ms/substep @2048 worlds copying the
     (2C, 3, 3) angular operator every iteration).
     """
+    if return_joint_lam and joints_rows is None:
+        raise ValueError("return_joint_lam=True requires joints_rows")
     live_v = contacts.valid
     c = contacts.a.shape[0]
     f = state.linvel.dtype

@@ -397,7 +397,7 @@ def capsule_tri_candidate(p0, p1, radius, v0, e1, e2, n_tri):
     dist = jnp.where(cross_in, 0.0, dist)
     pt_tri = jnp.where(cross_in, px, pt_tri)
     n_dir = pt_tri - pt_core
-    n_len = jnp.linalg.norm(n_dir, -1, keepdims=True)
+    n_len = jnp.linalg.norm(n_dir, axis=-1, keepdims=True)
     n_fallback = -n_tri * jnp.sign(jnp.where(jnp.abs(h0) > jnp.abs(h1),
                                              h0, h1))
     nrm = jnp.where(n_len > 1e-6, n_dir / jnp.maximum(n_len, _EPS),

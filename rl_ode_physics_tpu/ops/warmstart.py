@@ -7,6 +7,9 @@ reference empties its joint group every substep — ``dJointGroupEmpty``,
 adds the opt-in alternative: accumulated impulses are cached across steps,
 keyed on the stable contact identity ``Contacts.key`` (pair_flat ·
 K + manifold slot), and re-applied as the next step's initial guess.
+Trimesh contact rows carry key −1 and are excluded from the cache: their
+buffer position is a deepest-k *rank* that reorders between steps, not a
+stable feature identity, so mesh contacts always cold-start.
 Matching is a (C_new, C_old) one-hot key-equality matmul — no scatters, no
 sorting, fully batched.
 

@@ -46,7 +46,12 @@ def batched_step(batch: WorldState, config: EngineConfig) -> WorldState:
     from rl_ode_physics_tpu.core.config import SolverKind
     from rl_ode_physics_tpu.core.world import _pallas_available
 
-    if config.solver is SolverKind.FUSED and _pallas_available():
+    # mirror core.world._step_impl's guard: the megakernel drops
+    # pack_solver_inputs extras and bakes global mu/bounce, so per-body
+    # surface params must fall back to the vmapped step path (which honors
+    # them) instead of silently diverging from single-world step().
+    if (config.solver is SolverKind.FUSED and not config.per_body_surface
+            and _pallas_available()):
         from rl_ode_physics_tpu.ops import megakernel
         return megakernel.fused_step_batched(batch, config)
     return jax.vmap(lambda s: step(s, config))(batch)

@@ -153,3 +153,32 @@ def test_sphere_path_unchanged_by_rewrite():
     assert len(dep) >= 1
     np.testing.assert_allclose(dep[0], 0.1, atol=1e-5)
     np.testing.assert_allclose(nrm[0], [0, -1, 0], atol=1e-5)
+
+
+def test_capsule_oblique_triangle_unit_normal():
+    """Regression (round-3 ADVICE high): capsule_tri_candidate normalized
+    with jnp.linalg.norm(n_dir, -1, ...) — ord=-1 (harmonic norm), not
+    axis=-1 — so oblique contacts (n_dir with all components nonzero) got
+    non-unit normals, up to ~5x magnitude. Axis-aligned floors hid it: any
+    zero component makes ord=-1 return 0 and take the face-normal fallback.
+    """
+    v0 = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    e1 = jnp.asarray([2.0, 0.5, 0.3], jnp.float32)
+    e2 = jnp.asarray([0.3, 2.0, 0.5], jnp.float32)
+    n_tri = jnp.cross(e1, e2)
+    n_tri = n_tri / jnp.linalg.norm(n_tri)
+    assert float(np.min(np.abs(np.asarray(n_tri)))) > 0.05  # oblique
+
+    q = v0 + (e1 + e2) / 3.0                # triangle interior point
+    t_dir = e1 / jnp.linalg.norm(e1)
+    r, gap = 0.3, 0.2
+    p0 = q + gap * n_tri - 0.1 * t_dir
+    p1 = q + gap * n_tri + 0.1 * t_dir
+
+    pt, nrm, dep, valid = tm.capsule_tri_candidate(
+        p0, p1, jnp.float32(r), v0, e1, e2, n_tri)
+    assert bool(valid)
+    np.testing.assert_allclose(float(jnp.linalg.norm(nrm)), 1.0, atol=1e-5)
+    # normal points core -> triangle = against the triangle normal
+    np.testing.assert_allclose(np.asarray(nrm), -np.asarray(n_tri), atol=1e-4)
+    np.testing.assert_allclose(float(dep), r - gap, atol=1e-5)
