@@ -2,86 +2,46 @@
 
 Workload (BASELINE.md): 8192 vmapped worlds × 64 bodies each (the grassPlane
 arena + 60 dynamic stacked bodies per world), fixed contact buffers, 120 Hz
-substeps batched per launch. Prints ONE JSON line:
+substeps batched per launch. Prints ONE JSON line on stdout:
     {"metric": ..., "value": N, "unit": "body-steps/sec", "vs_baseline": N}
 vs_baseline is value / 50e6 (the ≥50M body-steps/sec target; the reference
 publishes no numbers of its own — BASELINE.md).
 
-Env overrides: BENCH_WORLDS, BENCH_BODIES, BENCH_STEPS, BENCH_SUBSTEPS.
+DUAL REPORT (round-3 VERDICT item 7): after the tuned headline run, the
+same workload re-runs at the ODE-parity solver setting (plain Jacobi
+ω=1.0, β=0, 20 iterations — QuickStep's default budget) and that number is
+printed to stderr as a second labeled JSON line, so cross-round and
+cross-engine comparisons never depend on the hb-10 convergence argument
+(benchmarks/solver_convergence.py). Disable with BENCH_PARITY=0.
+
+Env overrides: BENCH_WORLDS, BENCH_BODIES, BENCH_STEPS, BENCH_SUBSTEPS,
+BENCH_CHUNK, BENCH_SOLVER, BENCH_ITERS, BENCH_OMEGA, BENCH_BETA,
+BENCH_MM_DTYPE, BENCH_SEL_DTYPE, BENCH_TYPED, BENCH_UNROLL, BENCH_PARITY.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
-def main():
-    from rl_ode_physics_tpu.utils.cache import enable_persistent_cache
-    enable_persistent_cache()
-
-    from rl_ode_physics_tpu.core.config import EngineConfig
+def _measure(config, num_worlds, num_bodies, substeps, launches, chunk,
+             unroll):
+    """Run the workload under ``config``; return (value, dt, num_dynamic)."""
+    import numpy as np
     from rl_ode_physics_tpu.models import scenes
-    from rl_ode_physics_tpu.parallel.batch import replicate, make_batched_step_fn
+    from rl_ode_physics_tpu.parallel.batch import replicate, \
+        make_batched_step_fn
 
-    from rl_ode_physics_tpu.core.config import SolverKind
-
-    num_worlds = int(os.environ.get("BENCH_WORLDS", 8192))
-    num_bodies = int(os.environ.get("BENCH_BODIES", 64))
-    substeps = int(os.environ.get("BENCH_SUBSTEPS", 8))
-    launches = int(os.environ.get("BENCH_STEPS", 12))
-    # chunk=128 measured optimal on this chip (25.2M vs 21.6M at 2048):
-    # small sequential lax.map chunks keep each chunk's collision/solver
-    # intermediates cache/VMEM-resident between fusions (sweep in
-    # docs/BENCHMARKS.md; 64 collapses to 7.5M - too little parallelism)
-    chunk = int(os.environ.get("BENCH_CHUNK", 128))
-    solver = SolverKind[os.environ.get("BENCH_SOLVER", "jacobi").upper()]
-    if num_worlds <= chunk or num_worlds % chunk:
-        chunk = 0
-
-    config = EngineConfig(
-        solver=solver,
-        # heavy-ball-accelerated Jacobi at 10 sweeps: measured strictly
-        # MORE converged than plain Jacobi at ODE's default 20 on the bench
-        # workload (velocity error vs a 400-iteration solve: 0.96 vs 1.58
-        # max; late-steady penetration 0.013 vs 0.047 — see
-        # benchmarks/solver_convergence.py and docs/BENCHMARKS.md). Plain
-        # omega=1/beta=0 @ 20 iters stays the engine-wide ODE-parity default.
-        solver_iterations=int(os.environ.get("BENCH_ITERS", 10)),
-        jacobi_omega=float(os.environ.get("BENCH_OMEGA", 1.2)),
-        jacobi_beta=float(os.environ.get("BENCH_BETA", 0.9)),
-        friction=os.environ.get("BENCH_FRICTION", "1") != "0",
-        max_bodies=num_bodies,
-        max_pair_candidates=4 * num_bodies,
-        # 2*num_bodies = 128 rows: measured peak is 93 live contacts across
-        # seeds {42, 7, 123, 999} with overflow counters zero through the
-        # settling burst (27% headroom); every per-contact matmul/fusion/
-        # compaction cost scales with this capacity
-        max_contacts=2 * num_bodies,
-        # K=4 with deterministic fold-merge manifolds (no per-pair top-k)
-        # halves the contact-compaction sort width; stacking verified stable
-        max_contacts_per_pair=4,
-        # the workload is spheres+boxes (the reference's body types,
-        # inc/body.h:14-18): prune unused pair kernels from the program
-        enable_capsules=False,
-        enable_planes=False,
-        # typed-bucket narrowphase: each pair type runs ONLY its kernel at
-        # its intrinsic manifold size. Caps carry >=28% headroom over the
-        # measured per-bucket peaks across seeds {42,7,123,999} (ss 75,
-        # sb 74, bb 30) with overflow counters zero through settling.
-        solver_matmul_dtype=os.environ.get("BENCH_MM_DTYPE", "float32"),
-        typed_buckets=os.environ.get("BENCH_TYPED", "1") != "0",
-        bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
-    )
     world = scenes.bench_world(config, num_bodies=num_bodies - 4)
     batch = replicate(world, num_worlds)
     batch = jax.device_put(batch)
 
-    unroll = int(os.environ.get("BENCH_UNROLL", 2))
     step_fn = make_batched_step_fn(config, substeps=substeps, donate=True,
                                    chunk=chunk, unroll=unroll)
 
@@ -90,7 +50,6 @@ def main():
         batch = step_fn(batch)
     jax.block_until_ready(batch.pos)
 
-    import numpy as np
     _ = np.asarray(batch.pos[0, 0])   # hard sync through the transport layer
     t0 = time.perf_counter()
     for _ in range(launches):
@@ -102,20 +61,98 @@ def main():
     total_steps = launches * substeps
     # honesty: count only DYNAMIC bodies (the 4 static arena geoms are not
     # integrated/solved as bodies — 60 of the 64 slots are dynamic)
-    num_dynamic = int(np.asarray(
-        (world.inv_mass > 0).sum() if hasattr(world, "inv_mass") else num_bodies
-    ))
-    body_steps = num_worlds * num_dynamic * total_steps
-    value = body_steps / dt
+    num_dynamic = int(np.asarray((world.inv_mass > 0).sum()))
+    return num_worlds * num_dynamic * total_steps / dt, dt, num_dynamic
+
+
+def _result(config, value, dt, num_worlds, num_bodies, num_dynamic,
+            total_steps, note=""):
+    return {
+        "metric": f"body-steps/sec ({num_worlds} worlds x {num_dynamic} "
+                  f"dynamic bodies (of {num_bodies} slots), "
+                  f"{total_steps} substeps in {dt:.3f}s, "
+                  f"{config.solver_iterations} solver iters "
+                  f"(omega={config.jacobi_omega}, hb beta={config.jacobi_beta}"
+                  f"{note}), solver={config.solver.value}, "
+                  f"xla matmul precision={config.matmul_precision})",
+        "value": value,
+        "unit": "body-steps/sec",
+        "vs_baseline": value / 50e6,
+    }
+
+
+def main():
+    from rl_ode_physics_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    from rl_ode_physics_tpu.core.config import EngineConfig, SolverKind
+
+    num_worlds = int(os.environ.get("BENCH_WORLDS", 8192))
+    num_bodies = int(os.environ.get("BENCH_BODIES", 64))
+    substeps = int(os.environ.get("BENCH_SUBSTEPS", 8))
+    launches = int(os.environ.get("BENCH_STEPS", 12))
+    # chunk=128 measured optimal on this chip (25.2M vs 21.6M at 2048):
+    # small sequential lax.map chunks keep each chunk's collision/solver
+    # intermediates cache/VMEM-resident between fusions (sweep in
+    # docs/BENCHMARKS.md; 64 collapses to 7.5M - too little parallelism)
+    chunk = int(os.environ.get("BENCH_CHUNK", 128))
+    solver = SolverKind[os.environ.get("BENCH_SOLVER", "jacobi").upper()]
+    unroll = int(os.environ.get("BENCH_UNROLL", 2))
+    if num_worlds <= chunk or num_worlds % chunk:
+        chunk = 0
+
+    config = EngineConfig(
+        solver=solver,
+        # heavy-ball-accelerated Jacobi at 10 sweeps: measured strictly
+        # MORE converged than plain Jacobi at ODE's default 20 on the bench
+        # workload (velocity error vs a 400-iteration solve: 0.96 vs 1.58
+        # max; late-steady penetration 0.013 vs 0.047 — see
+        # benchmarks/solver_convergence.py and docs/BENCHMARKS.md). Plain
+        # omega=1/beta=0 @ 20 iters stays the engine-wide ODE-parity default
+        # and is re-measured every round as the parity line below.
+        solver_iterations=int(os.environ.get("BENCH_ITERS", 10)),
+        jacobi_omega=float(os.environ.get("BENCH_OMEGA", 1.2)),
+        jacobi_beta=float(os.environ.get("BENCH_BETA", 0.9)),
+        friction=os.environ.get("BENCH_FRICTION", "1") != "0",
+        max_bodies=num_bodies,
+        max_pair_candidates=4 * num_bodies,
+        # 2*num_bodies = 128 rows: measured peak is 93 live contacts across
+        # seeds {42, 7, 123, 999} with overflow counters zero through the
+        # settling burst (27% headroom); every per-contact matmul/fusion/
+        # compaction cost scales with this capacity. Overflow is LOUD now:
+        # WorldState.overflow accumulates dropped rows on the default path.
+        max_contacts=2 * num_bodies,
+        # K=4 with deterministic fold-merge manifolds (no per-pair top-k)
+        # halves the contact-compaction sort width; stacking verified stable
+        max_contacts_per_pair=4,
+        # the workload is spheres+boxes (the reference's body types,
+        # inc/body.h:14-18): prune unused pair kernels from the program
+        enable_capsules=False,
+        enable_planes=False,
+        solver_matmul_dtype=os.environ.get("BENCH_MM_DTYPE", "float32"),
+        # bf16 narrowphase/compaction selectors: numerically identical to
+        # f32 at TPU default matmul precision (the MXU rounds f32 operands
+        # to bf16 per pass anyway) at half the one-hot HBM bytes
+        selector_dtype=os.environ.get("BENCH_SEL_DTYPE", "bfloat16"),
+        # typed-bucket narrowphase: each pair type runs ONLY its kernel at
+        # its intrinsic manifold size. Caps carry >=28% headroom over the
+        # measured per-bucket peaks across seeds {42,7,123,999} (ss 75,
+        # sb 74, bb 30) with overflow counters zero through settling.
+        typed_buckets=os.environ.get("BENCH_TYPED", "1") != "0",
+        bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
+    )
+
+    value, dt, num_dynamic = _measure(
+        config, num_worlds, num_bodies, substeps, launches, chunk, unroll)
+    total_steps = launches * substeps
 
     # FLOP accounting for cross-round/roofline comparability (stderr; the
     # driver parses the single stdout JSON line). Dominant cost: the solver's
     # two (2C, N)x(N, 8) selector matmuls per iteration per world.
-    import sys
     c_rows = config.max_contacts
     n = config.max_bodies
     it = config.solver_iterations
-    solver_flops = 2 * (2 * c_rows) * n * 8 * 2 * it      # per world per substep
+    solver_flops = 2 * (2 * c_rows) * n * 8 * 2 * it   # per world per substep
     total_solver_tflops = solver_flops * num_worlds * total_steps / dt / 1e12
     print(f"# aux: {num_dynamic} dynamic bodies/world; solver selector-matmul "
           f"throughput ~{total_solver_tflops:.2f} TFLOP/s sustained "
@@ -123,20 +160,25 @@ def main():
           f"{it} iters); slot-steps/sec (all {num_bodies} slots) = "
           f"{num_worlds * num_bodies * total_steps / dt:.3g}", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": f"body-steps/sec ({num_worlds} worlds x {num_dynamic} dynamic "
-                  f"bodies (of {num_bodies} slots), "
-                  f"{total_steps} substeps in {dt:.3f}s, "
-                  f"{config.solver_iterations} solver iters "
-                  f"(omega={config.jacobi_omega}, hb beta={config.jacobi_beta}"
-                  f"; >= plain-20-iter convergence, see "
-                  f"benchmarks/solver_convergence.py), "
-                  f"solver={config.solver.value}, "
-                  f"xla matmul precision={config.matmul_precision})",
-        "value": value,
-        "unit": "body-steps/sec",
-        "vs_baseline": value / 50e6,
-    }))
+    headline = _result(
+        config, value, dt, num_worlds, num_bodies, num_dynamic, total_steps,
+        note="; >= plain-20-iter convergence, see "
+             "benchmarks/solver_convergence.py")
+
+    # ODE-parity dual report: plain Jacobi omega=1, beta=0, 20 iterations
+    # (QuickStep's default budget) on the SAME workload — stderr, labeled.
+    if (os.environ.get("BENCH_PARITY", "1") != "0"
+            and solver is SolverKind.JACOBI):
+        parity_cfg = config.replace(solver_iterations=20, jacobi_omega=1.0,
+                                    jacobi_beta=0.0)
+        p_value, p_dt, _ = _measure(parity_cfg, num_worlds, num_bodies,
+                                    substeps, launches, chunk, unroll)
+        p = _result(parity_cfg, p_value, p_dt, num_worlds, num_bodies,
+                    num_dynamic, total_steps, note="; ODE QuickStep parity "
+                    "setting")
+        print("# parity: " + json.dumps(p), file=sys.stderr)
+
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

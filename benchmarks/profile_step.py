@@ -42,6 +42,8 @@ def main(num_worlds: int = 2048, substeps: int = 8):
                        jacobi_omega=float(os.environ.get("BENCH_OMEGA", 1.2)),
                        jacobi_beta=float(os.environ.get("BENCH_BETA", 0.9)),
                        typed_buckets=os.environ.get("BENCH_TYPED", "0") != "0",
+                       selector_dtype=os.environ.get("BENCH_SEL_DTYPE",
+                                                     "float32"),
                        bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
                        enable_capsules=False, enable_planes=False)
     w = scenes.bench_world(cfg, num_bodies=60)

@@ -1,0 +1,106 @@
+"""End-to-end RL rollout throughput — the repo's namesake use case
+(VERDICT r2 item 8).
+
+Measures ``PhysicsEnv.rollout``: actions in → physics substeps → obs (+
+optional lidar) out, across the full 8192-world batch, as env-steps/sec
+(one env step = one 60 Hz control step = ``substeps`` 120 Hz physics
+substeps per world). This is the number an RL practitioner sees; the raw
+body-steps/sec of ``bench.py`` is the physics-core view of the same
+workload.
+
+    python benchmarks/rl_rollout_bench.py            # TPU
+    BENCH_WORLDS=512 BENCH_LIDAR=0 python benchmarks/rl_rollout_bench.py
+
+Env overrides: BENCH_WORLDS, BENCH_BODIES, BENCH_HORIZON, BENCH_REPEATS,
+BENCH_SUBSTEPS, BENCH_LIDAR (rays per actor, 0 disables).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    from rl_ode_physics_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rl_ode_physics_tpu.core.config import EngineConfig
+    from rl_ode_physics_tpu.models import scenes
+    from rl_ode_physics_tpu.models.env import PhysicsEnv
+
+    num_worlds = int(os.environ.get("BENCH_WORLDS", 8192))
+    num_bodies = int(os.environ.get("BENCH_BODIES", 64))
+    substeps = int(os.environ.get("BENCH_SUBSTEPS", 2))   # 60 Hz control
+    horizon = int(os.environ.get("BENCH_HORIZON", 16))
+    repeats = int(os.environ.get("BENCH_REPEATS", 4))
+    lidar_rays = int(os.environ.get("BENCH_LIDAR", 16))
+
+    config = EngineConfig(
+        max_bodies=num_bodies,
+        max_pair_candidates=4 * num_bodies,
+        max_contacts=2 * num_bodies,
+        max_contacts_per_pair=4,
+        solver_iterations=10, jacobi_omega=1.2, jacobi_beta=0.9,
+        enable_capsules=False, enable_planes=False,
+        selector_dtype=os.environ.get("BENCH_SEL_DTYPE", "bfloat16"),
+        typed_buckets=True,
+        bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
+    )
+
+    lidar = None
+    if lidar_rays:
+        # horizontal ray fan (the standard planar range sensor)
+        ang = np.linspace(0, 2 * np.pi, lidar_rays, endpoint=False)
+        lidar = np.stack([np.cos(ang), np.zeros_like(ang), np.sin(ang)], -1)
+
+    env = PhysicsEnv(
+        config,
+        lambda cfg, seed: scenes.bench_world(cfg, num_bodies=num_bodies - 4,
+                                             seed=seed),
+        actor_slots=[4, 5],           # two dynamic bodies are the actors
+        num_worlds=num_worlds, substeps=substeps,
+        lidar_dirs=lidar,
+    )
+    state, obs = env.reset(seed=42)
+    num_actors = env.num_actors
+
+    key = jax.random.PRNGKey(0)
+    action_seq = 0.5 * jax.random.normal(
+        key, (horizon, num_worlds, num_actors, 6), jnp.float32)
+
+    # warmup/compile
+    state, traj = env.rollout(state, action_seq)
+    leaf = traj[0] if isinstance(traj, tuple) else traj
+    _ = np.asarray(leaf[0, 0, 0])
+
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        state, traj = env.rollout(state, action_seq)
+    leaf = traj[0] if isinstance(traj, tuple) else traj
+    _ = np.asarray(leaf[0, 0, 0])
+    jax.block_until_ready(state.pos)
+    dt = time.perf_counter() - t0
+
+    env_steps = num_worlds * horizon * repeats
+    dynamic = num_bodies - 4
+    print(json.dumps({
+        "metric": f"env-steps/sec ({num_worlds} worlds, horizon {horizon}, "
+                  f"{substeps} substeps/env-step, {num_actors} actors, "
+                  f"lidar {lidar_rays} rays, obs (N,13)"
+                  f"{' + lidar' if lidar_rays else ''})",
+        "value": env_steps / dt,
+        "unit": "env-steps/sec",
+        "body_steps_per_sec": env_steps * substeps * dynamic / dt,
+    }))
+
+
+if __name__ == "__main__":
+    main()

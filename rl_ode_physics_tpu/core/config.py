@@ -116,6 +116,16 @@ class EngineConfig:
     # per-iteration cost). "bfloat16" halves bytes and doubles MXU rate; the
     # selector itself is exact (0/1) — only gathered velocities are rounded.
     solver_matmul_dtype: str = "float32"
+    # dtype of the typed-bucket narrowphase/compaction selector matmuls
+    # (pair-feature gathers and the contact payload compaction). The one-hot
+    # selectors are exact in any dtype; "bfloat16" halves their HBM bytes.
+    # On TPU at matmul_precision="default" this is numerically IDENTICAL to
+    # float32 (the MXU rounds f32 operands to bf16 per pass anyway); on CPU
+    # or at higher matmul precisions it rounds gathered features/contact
+    # geometry to bf16 — keep "float32" for conformance runs. Integer
+    # payload columns (body ids ≤ 256, manifold slots) stay exact in bf16;
+    # contact keys are recomputed in int32 after compaction.
+    selector_dtype: str = "float32"
     # XLA matmul precision for the whole step. TPU "default" runs f32
     # matmuls as bf16 MXU passes — the one-hot selection matmuls therefore
     # round gathered positions/velocities to bf16 (~3 decimal digits; all

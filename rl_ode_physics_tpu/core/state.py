@@ -95,6 +95,14 @@ class WorldState:
     # bookkeeping
     tick: jnp.ndarray       # () int32 — server tick counter
     rng_state: jnp.ndarray  # () uint32 — reference-compatible PRNG stream state
+    # cumulative capacity-overflow counter: pair candidates / contact rows
+    # DROPPED because a static buffer (max_pair_candidates, bucket_caps,
+    # max_contacts) was full. Incremented by step() on the default path —
+    # overflow is observable from any WorldState without diagnostics mode
+    # (a scene exceeding its configured capacities silently loses contacts,
+    # so this must be loud). 0 = nothing was ever dropped.
+    overflow: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
     @property
     def num_slots(self) -> int:

@@ -311,6 +311,10 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
     if joints is not None:
         from rl_ode_physics_tpu.ops.joints import joint_rows
         joints_rows = joint_rows(state, joints, config)
+    # loud capacity overflow: dropped pairs/contacts accumulate on the
+    # state itself, so overflow is observable without diagnostics mode
+    state = state.replace(
+        overflow=state.overflow + contacts.overflow + pair_overflow)
     state = integrator.apply_external_forces(state, config)
     joint_fb = None
     if (joints_rows is not None and with_metrics

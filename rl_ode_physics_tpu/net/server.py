@@ -63,6 +63,8 @@ class SimCore:
                       else scenes.grass_plane_world(self.config, seed))
         self._step1 = make_step_fn(self.config, substeps=1, donate=False)
         self.tick = 0
+        self._overflow_checked_tick = 0
+        self._overflow_reported = 0
         self.intent_log: List[Intent] = []
         # per-tick observability counters (SURVEY.md §5 metrics plan)
         self.metrics = None
@@ -210,10 +212,29 @@ class SimCore:
                 self.world, m = self._diag_step(self.world)
                 self.tick += 1
                 self.metrics.append(self.tick, m)
-            return
-        for _ in range(substeps):
-            self.world = self._step1(self.world)
-            self.tick += 1
+        else:
+            for _ in range(substeps):
+                self.world = self._step1(self.world)
+                self.tick += 1
+        # loud capacity overflow (default path, no diagnostics needed):
+        # ~1 Hz device scalar read; warn whenever the cumulative dropped
+        # pair/contact count has grown since the last check
+        if self.tick - self._overflow_checked_tick >= 120:
+            self._overflow_checked_tick = self.tick
+            self.check_overflow()
+
+    def check_overflow(self) -> int:
+        """Cumulative dropped pair/contact count; warns when it grows."""
+        count = int(jax.device_get(self.world.overflow))
+        if count > self._overflow_reported:
+            import warnings
+            warnings.warn(
+                f"physics capacity overflow: {count} pair/contact rows "
+                f"dropped so far (tick {self.tick}) — raise max_contacts / "
+                f"max_pair_candidates / bucket_caps", RuntimeWarning,
+                stacklevel=2)
+            self._overflow_reported = count
+        return count
 
     # --- snapshots -------------------------------------------------------
 

@@ -35,6 +35,50 @@ def compact_rows(mask: jnp.ndarray, payload: jnp.ndarray, k: int):
     return rows, valid, count, overflow
 
 
+def compact_rows_t(mask: jnp.ndarray, payload_t: jnp.ndarray, k: int,
+                   sel_dtype=None):
+    """Transposed ``compact_rows``: payload arrives component-major (D, M)
+    and leaves component-major (D, k).
+
+    Round-3 profile: the row-major (M, D≈10) payload pads its 10-lane minor
+    to the 128-lane HBM tile (~12×), so `compact_rows` streamed ~0.5 GB of
+    padding per 2048-world substep. Component-major keeps D on sublanes
+    (padded 10→16, 1.6×) and M on lanes, and the selection matmul runs as
+    (D, M)·(M, k) with the one-hot as the RHS.
+
+    ``sel_dtype``: dtype for the selection matmul operands (the one-hot is
+    exact in any dtype). "bfloat16" halves the one-hot's bytes — on TPU at
+    XLA's default matmul precision this is *numerically identical* to the
+    f32 dot (the MXU rounds f32 operands to bf16 per pass anyway); only
+    use it when every payload row is bf16-exact or already bf16-rounded
+    downstream. Output accumulates in the payload dtype.
+
+    Returns (rows_t (D, k), valid (k,), count (), overflow ()).
+    """
+    d, m = payload_t.shape
+    # source-side rank: the destination slot of source row m is simply the
+    # exclusive cumsum of the mask at m — no inverse rank *search* needed
+    # for a payload matmul (the search in `compact_mask` exists only when
+    # explicit indices are required; round-3 profile: the search's block
+    # machinery cost more than the selection matmul itself)
+    mi = mask.astype(jnp.int32)
+    csum = jnp.cumsum(mi)                                # inclusive (M,)
+    rank = csum - mi                                     # exclusive
+    total = csum[-1]
+    dt = jnp.dtype(sel_dtype) if sel_dtype is not None else payload_t.dtype
+    # materialized one-hot (optimization_barrier): fusing the rank-compare
+    # producer into the matmul operand lowers the dot to a VPU loop fusion
+    # (measured 0.6 ms/substep @2048 vs ~0.1 ms with the barrier)
+    sel = jax.lax.optimization_barrier(
+        ((rank[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :])
+         & mask[:, None]).astype(dt))                    # (M, k) one-hot
+    rows_t = jnp.matmul(payload_t.astype(dt), sel,
+                        preferred_element_type=payload_t.dtype)
+    valid = jnp.arange(k, dtype=jnp.int32) < total
+    return (rows_t, valid, jnp.minimum(total, k),
+            jnp.maximum(total - k, 0))
+
+
 def compact_mask(mask: jnp.ndarray, k: int):
     """Indices of the first ≤k True entries of ``mask`` (ascending).
 

@@ -289,6 +289,9 @@ def fused_step_batched(batch: WorldState, config: EngineConfig,
         contacts = jax.vmap(
             lambda s, cd: np_ops.narrowphase(s, cd, config))(batch, cand)
         num_pairs, pair_overflow = cand.count, cand.overflow
+    # loud capacity overflow (same accounting as core.world._step_impl)
+    batch = batch.replace(
+        overflow=batch.overflow + contacts.overflow + pair_overflow)
     batch = jax.vmap(
         lambda s: integrator.apply_external_forces(s, config))(batch)
     batch = solve_fused(batch, contacts, config, interpret)

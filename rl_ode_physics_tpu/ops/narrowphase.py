@@ -795,31 +795,97 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
     tmin_f = tmin.reshape(n * n)
     tmax_f = tmax.reshape(n * n)
 
+    sel_dt = jnp.dtype(config.selector_dtype)
+    if sel_dt == jnp.bfloat16 and n > 256:
+        raise ValueError(
+            "selector_dtype='bfloat16' requires max_bodies <= 256 (body "
+            "slot ids ride the selector matmuls and must be bf16-exact)")
+
     feats = jnp.concatenate([
         state.pos, state.quat, state.size,
         state.body_type.astype(f)[:, None],
-    ], axis=-1)                                        # (N, 11)
+    ], axis=-1).astype(sel_dt)                         # (N, 11)
     cols = jnp.arange(n, dtype=jnp.int32)
 
-    from rl_ode_physics_tpu.ops.compaction import compact_mask
+    from rl_ode_physics_tpu.ops.compaction import compact_rows_t
+
+    # ---- closed-form bucket pair compaction (round-3) -------------------
+    # The generic rank-select (`compact_mask`) answers "which source index
+    # holds output rank c" with a two-level block *search* — the round-3
+    # profile showed that search machinery (block one-hots, cumsum-row
+    # matmul, position compare) as the single largest substep cost
+    # (~0.9 ms @2048). On the (N, N) pair grid the search has a CLOSED
+    # FORM: output rank c lives in row i iff rowoff[i] <= c <
+    # rowoff[i] + rowcnt[i] (rowoff = exclusive cumsum of per-row hit
+    # counts) — two broadcast compares build the exact A-side one-hot
+    # directly, and the column follows from one within-row-cumsum lookup.
+    # Buckets are PADDED to a common capacity P so every stage is one
+    # batched (G, P, N) op; per-bucket rows are leading-dim slices (free).
+    # (A first cut folded the within-cumsums into the feature matmul as a
+    # (S, 11+G·N) output and sliced them back out — minor-dim slicing of
+    # that wide output cost ~6 ms/substep @2048 in layout copies. Keep
+    # every intermediate (G, P, N)-shaped and slice leading dims only.)
+    kernels = list(_enabled_kernels(config).items())
+    caps = [config.bucket_capacity(t1, t2) for (t1, t2), _ in kernels]
+    g = len(kernels)
+    p_cap = max(caps)
+    hit2d = hit_flat.reshape(n, n)
+    tmin2d, tmax2d = tmin_f.reshape(n, n), tmax_f.reshape(n, n)
+    masks3 = jnp.stack([
+        hit2d & (tmin2d == t1) & (tmax2d == t2)
+        for (t1, t2), _ in kernels
+    ])                                                  # (G, N, N)
+    within3 = jnp.cumsum(masks3.astype(jnp.int32), axis=2)   # inclusive
+    rowcnt = within3[:, :, -1]                               # (G, N)
+    rowoff = jnp.cumsum(rowcnt, axis=1) - rowcnt             # exclusive
+    total3 = jnp.sum(rowcnt, axis=1)                         # (G,)
+    caps_a = jnp.asarray(caps, jnp.int32)
+
+    c_loc = jnp.arange(p_cap, dtype=jnp.int32)               # (P,)
+    sa3 = ((c_loc[None, :, None] >= rowoff[:, None, :])
+           & (c_loc[None, :, None] < (rowoff + rowcnt)[:, None, :]))
+    bvalid3 = c_loc[None, :] < jnp.minimum(total3, caps_a)[:, None]
+    # exact integer side-channels as f32 VPU multiply-reduces (NOT through
+    # the matmul: at TPU default precision the MXU rounds f32 operands to
+    # bf16, which corrupts integers > 256 — row offsets reach N²/2)
+    sa3_f = sa3.astype(f)
+    ia3 = jnp.sum(sa3_f * cols.astype(f)[None, None, :],
+                  axis=-1).astype(jnp.int32)                 # (G, P)
+    roff3 = jnp.sum(sa3_f * rowoff.astype(f)[:, None, :], axis=-1)
+    r_resid3 = c_loc.astype(f)[None, :] - roff3              # in-row rank
+
+    # materialize the one-hot before the dots: letting XLA fuse the
+    # range-compare producer into the dot operand turns the dots into one
+    # giant VPU loop fusion (measured 0.69 ms/substep @2048 vs 0.03 ms for
+    # the isolated MXU form)
+    sa3_dt = jax.lax.optimization_barrier(sa3.astype(sel_dt))
+    # features of the A body: (G, P, N)·(N, 11)
+    fa3 = jax.lax.dot_general(
+        sa3_dt, feats, (((2,), (0,)), ((), ())),
+        preferred_element_type=f)                            # (G, P, 11)
+    # gather each slot's within-row cumsum row: batched (P, N)·(N, N);
+    # cumsum values <= N <= 256 are exact even in bf16
+    w3 = jax.lax.dot_general(
+        sa3_dt, within3.astype(sel_dt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f)                            # (G, P, N)
+    # column of the (r+1)-th set bit: #positions with cumsum <= r
+    ib3 = jnp.sum((w3 <= r_resid3[..., None]).astype(jnp.int32), axis=-1)
+    ia3 = jnp.where(bvalid3, ia3, 0)
+    ib3 = jnp.where(bvalid3, jnp.minimum(ib3, n - 1), 0)
+    oh_b3 = (ib3[..., None] == cols[None, None, :]).astype(sel_dt)
+    fb3 = jax.lax.dot_general(
+        oh_b3, feats, (((2,), (0,)), ((), ())),
+        preferred_element_type=f)                            # (G, P, 11)
 
     packed_parts, valid_parts = [], []
-    total_pairs = jnp.zeros((), jnp.int32)
-    pair_overflow = jnp.zeros((), jnp.int32)
-    for (t1, t2), kernel in _enabled_kernels(config).items():
-        cp_b = config.bucket_capacity(t1, t2)
+    total_pairs = jnp.sum(jnp.minimum(total3, jnp.asarray(caps, jnp.int32)))
+    pair_overflow = jnp.sum(
+        jnp.maximum(total3 - jnp.asarray(caps, jnp.int32), 0))
+    for gi, ((t1, t2), kernel) in enumerate(kernels):
+        cp_b = caps[gi]
         k_b = min(_KERNEL_K[(t1, t2)], k_glob)
-        mask_b = hit_flat & (tmin_f == t1) & (tmax_f == t2)
-        idx, bvalid, count, overflow = compact_mask(mask_b, cp_b)
-        total_pairs = total_pairs + count
-        pair_overflow = pair_overflow + overflow
-        ia = jnp.where(bvalid, idx // n, 0)
-        ib = jnp.where(bvalid, idx % n, 0)
-
-        oh_a = (ia[:, None] == cols[None, :]).astype(f)
-        oh_b = (ib[:, None] == cols[None, :]).astype(f)
-        fa = jnp.matmul(oh_a, feats)
-        fb = jnp.matmul(oh_b, feats)
+        fa, fb = fa3[gi, :cp_b], fb3[gi, :cp_b]
+        ia, ib, bvalid = ia3[gi, :cp_b], ib3[gi, :cp_b], bvalid3[gi, :cp_b]
         points, normals, depths, valid = jax.vmap(
             lambda *args: collide_pair(*args, k_b, {(t1, t2): kernel})
         )(
@@ -828,47 +894,56 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
         )
         valid = valid & bvalid[:, None]
 
+        # component-major payload part (10, cp_b*k_b): body ids and the
+        # manifold slot ride as exact small ints; the warm-start key is
+        # recomputed in int32 AFTER compaction (an f32/bf16 key column
+        # would silently round above 2^24 / 2^8)
+        mk = cp_b * k_b
         slot_k = jnp.tile(jnp.arange(k_b, dtype=jnp.int32), cp_b)
-        keys = ((ia * n + ib).repeat(k_b) * k_glob + slot_k).astype(f)
         packed_parts.append(jnp.concatenate([
-            points.reshape(cp_b * k_b, 3),
-            normals.reshape(cp_b * k_b, 3),
-            depths.reshape(cp_b * k_b, 1),
-            jnp.repeat(ia, k_b).astype(f)[:, None],
-            jnp.repeat(ib, k_b).astype(f)[:, None],
-            keys[:, None],
-        ], axis=-1))
-        valid_parts.append(valid.reshape(cp_b * k_b))
+            points.reshape(mk, 3).T,
+            normals.reshape(mk, 3).T,
+            depths.reshape(1, mk),
+            jnp.repeat(ia, k_b).astype(f)[None],
+            jnp.repeat(ib, k_b).astype(f)[None],
+            slot_k.astype(f)[None],
+        ], axis=0))                                     # (10, mk)
+        valid_parts.append(valid.reshape(mk))
 
-    packed = jnp.concatenate(packed_parts, axis=0)
+    packed_t = jnp.concatenate(packed_parts, axis=1)    # (10, M)
     flat_valid = jnp.concatenate(valid_parts)
 
     if extra is not None:
-        # mesh rows: key −1 = excluded from warm-start matching (their
-        # buffer position is a deepest-k rank that reorders between steps —
-        # see the note in `narrowphase`)
+        # mesh rows: slot −1 → key −1 = excluded from warm-start matching
+        # (their buffer position is a deepest-k rank that reorders between
+        # steps — see the note in `narrowphase`)
         e_pts, e_nrm, e_dep, e_a, e_b, e_val = extra
-        e_keys = jnp.full((e_a.shape[0],), -1.0, f)
-        packed = jnp.concatenate([packed, jnp.concatenate([
-            e_pts, e_nrm, e_dep[:, None],
-            e_a.astype(f)[:, None], e_b.astype(f)[:, None],
-            e_keys[:, None],
-        ], axis=-1)], axis=0)
+        e_packed_t = jnp.concatenate([
+            e_pts.T, e_nrm.T, e_dep[None],
+            e_a.astype(f)[None], e_b.astype(f)[None],
+            jnp.full((1, e_a.shape[0]), -1.0, f),
+        ], axis=0)
+        packed_t = jnp.concatenate([packed_t, e_packed_t], axis=1)
         flat_valid = jnp.concatenate([flat_valid, e_val])
 
-    from rl_ode_physics_tpu.ops.compaction import compact_rows
-
-    rows, cvalid, count, overflow = compact_rows(flat_valid, packed, ccap)
+    rows_t, cvalid, count, overflow = compact_rows_t(
+        flat_valid, packed_t, ccap,
+        sel_dtype=sel_dt if sel_dt != f else None)
+    a_out = rows_t[7].astype(jnp.int32)
+    b_out = rows_t[8].astype(jnp.int32)
+    slot_out = jnp.round(rows_t[9]).astype(jnp.int32)
+    key = jnp.where(cvalid & (slot_out >= 0),
+                    (a_out * n + b_out) * k_glob + slot_out, -1)
     return Contacts(
-        point=rows[:, 0:3],
-        normal=rows[:, 3:6],
-        depth=rows[:, 6],
-        a=rows[:, 7].astype(jnp.int32),
-        b=rows[:, 8].astype(jnp.int32),
+        point=rows_t[0:3].T,
+        normal=rows_t[3:6].T,
+        depth=rows_t[6],
+        a=a_out,
+        b=b_out,
         valid=cvalid,
         count=count,
         overflow=overflow + pair_overflow,
-        key=jnp.where(cvalid, rows[:, 9].astype(jnp.int32), -1),
+        key=key,
     ), total_pairs
 
 
