@@ -113,6 +113,7 @@ def main():
         solver_iterations=int(os.environ.get("BENCH_ITERS", 10)),
         jacobi_omega=float(os.environ.get("BENCH_OMEGA", 1.2)),
         jacobi_beta=float(os.environ.get("BENCH_BETA", 0.9)),
+        solver_loop_unroll=int(os.environ.get("BENCH_SOLVER_UNROLL", 1)),
         friction=os.environ.get("BENCH_FRICTION", "1") != "0",
         max_bodies=num_bodies,
         max_pair_candidates=4 * num_bodies,

@@ -70,6 +70,11 @@ class EngineConfig:
     # reaches plain-Jacobi-at-20-iterations solution quality in fewer
     # sweeps (measured by benchmarks/solver_convergence.py).
     jacobi_beta: float = 0.0
+    # unroll factor for the Jacobi iteration loop (1 = rolled fori_loop).
+    # The production chunk regime is dispatch-floor-bound (~2.6 us/op at
+    # chunk 128): unrolling removes the while-loop carry copies and lets
+    # XLA fuse across iterations. Full unroll = solver_iterations.
+    solver_loop_unroll: int = 1
     # per-body surface parameters: contact rows mix the two bodies'
     # WorldState.friction/restitution as min(mu) / max(bounce) instead of
     # using the global mu/bounce (beyond parity — ODE sets these per

@@ -842,23 +842,31 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
     caps_a = jnp.asarray(caps, jnp.int32)
 
     c_loc = jnp.arange(p_cap, dtype=jnp.int32)               # (P,)
-    sa3 = ((c_loc[None, :, None] >= rowoff[:, None, :])
-           & (c_loc[None, :, None] < (rowoff + rowcnt)[:, None, :]))
     bvalid3 = c_loc[None, :] < jnp.minimum(total3, caps_a)[:, None]
-    # exact integer side-channels as f32 VPU multiply-reduces (NOT through
-    # the matmul: at TPU default precision the MXU rounds f32 operands to
-    # bf16, which corrupts integers > 256 — row offsets reach N²/2)
-    sa3_f = sa3.astype(f)
-    ia3 = jnp.sum(sa3_f * cols.astype(f)[None, None, :],
-                  axis=-1).astype(jnp.int32)                 # (G, P)
-    roff3 = jnp.sum(sa3_f * rowoff.astype(f)[:, None, :], axis=-1)
+    # The containing row of output rank p is the first row whose INCLUSIVE
+    # offset (endoff = rowoff + rowcnt) exceeds p: ia3 = #{i: endoff[i] <=
+    # p}. Empty rows carry endoff == their rowoff and are counted iff they
+    # sit before the containing row — exactly right. One shared (G, P, N)
+    # compare feeds both the row index and its pair offset (the previous
+    # form materialized a full range one-hot in f32 TWICE for two separate
+    # multiply-reduces — 0.6 ms/substep @2048):
+    #   ia3 = sum(le)        roff3 = sum(rowcnt * le)
+    # (integer side-channels stay on the VPU in i32/f32 — at TPU default
+    # matmul precision the MXU rounds f32 operands to bf16, which corrupts
+    # integers > 256; row offsets reach N²/2)
+    endoff = rowoff + rowcnt                                 # (G, N)
+    le3 = endoff[:, None, :] <= c_loc[None, :, None]         # (G, P, N)
+    ia3 = jnp.sum(le3.astype(jnp.int32), axis=-1)            # (G, P)
+    roff3 = jnp.sum(le3.astype(f) * rowcnt.astype(f)[:, None, :], axis=-1)
     r_resid3 = c_loc.astype(f)[None, :] - roff3              # in-row rank
+    ia3 = jnp.minimum(ia3, n - 1)
 
     # materialize the one-hot before the dots: letting XLA fuse the
-    # range-compare producer into the dot operand turns the dots into one
+    # compare producer into the dot operand turns the dots into one
     # giant VPU loop fusion (measured 0.69 ms/substep @2048 vs 0.03 ms for
     # the isolated MXU form)
-    sa3_dt = jax.lax.optimization_barrier(sa3.astype(sel_dt))
+    sa3_dt = jax.lax.optimization_barrier(
+        (ia3[..., None] == cols[None, None, :]).astype(sel_dt))
     # features of the A body: (G, P, N)·(N, 11)
     fa3 = jax.lax.dot_general(
         sa3_dt, feats, (((2,), (0,)), ((), ())),
@@ -867,7 +875,7 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
     # cumsum values <= N <= 256 are exact even in bf16
     w3 = jax.lax.dot_general(
         sa3_dt, within3.astype(sel_dt), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=f)                            # (G, P, N)
+        preferred_element_type=sel_dt)                       # (G, P, N)
     # column of the (r+1)-th set bit: #positions with cumsum <= r
     ib3 = jnp.sum((w3 <= r_resid3[..., None]).astype(jnp.int32), axis=-1)
     ia3 = jnp.where(bvalid3, ia3, 0)
@@ -886,12 +894,16 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
         k_b = min(_KERNEL_K[(t1, t2)], k_glob)
         fa, fb = fa3[gi, :cp_b], fb3[gi, :cp_b]
         ia, ib, bvalid = ia3[gi, :cp_b], ib3[gi, :cp_b], bvalid3[gi, :cp_b]
+        # slice the 11-wide feature rows INSIDE the vmapped kernel: outer
+        # minor-dim slices of the padded (P, 11) dot outputs materialize
+        # as layout copies (~0.3 ms/substep @2048); per-row (11,) slices
+        # fuse into the collide kernel for free
         points, normals, depths, valid = jax.vmap(
-            lambda *args: collide_pair(*args, k_b, {(t1, t2): kernel})
-        )(
-            fa[:, 0:3], fa[:, 3:7], fa[:, 10].astype(jnp.int32), fa[:, 7:10],
-            fb[:, 0:3], fb[:, 3:7], fb[:, 10].astype(jnp.int32), fb[:, 7:10],
-        )
+            lambda ra, rb: collide_pair(
+                ra[0:3], ra[3:7], ra[10].astype(jnp.int32), ra[7:10],
+                rb[0:3], rb[3:7], rb[10].astype(jnp.int32), rb[7:10],
+                k_b, {(t1, t2): kernel})
+        )(fa, fb)
         valid = valid & bvalid[:, None]
 
         # component-major payload part (10, cp_b*k_b): body ids and the
