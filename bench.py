@@ -103,15 +103,20 @@ def main():
 
     config = EngineConfig(
         solver=solver,
-        # heavy-ball-accelerated Jacobi at 10 sweeps: measured strictly
-        # MORE converged than plain Jacobi at ODE's default 20 on the bench
-        # workload (velocity error vs a 400-iteration solve: 0.96 vs 1.58
-        # max; late-steady penetration 0.013 vs 0.047 — see
-        # benchmarks/solver_convergence.py and docs/BENCHMARKS.md). Plain
-        # omega=1/beta=0 @ 20 iters stays the engine-wide ODE-parity default
-        # and is re-measured every round as the parity line below.
-        solver_iterations=int(os.environ.get("BENCH_ITERS", 10)),
-        jacobi_omega=float(os.environ.get("BENCH_OMEGA", 1.2)),
+        # heavy-ball-accelerated Jacobi at 8 sweeps (omega=1.3, beta=0.9):
+        # measured strictly MORE converged than plain Jacobi at ODE's
+        # default 20 on the bench workload (velocity error vs a
+        # 400-iteration solve: 1.15 vs 1.58 max) AND end-to-end stable
+        # across seeds {42,7,123}: late-steady penetration <=0.023 vs
+        # plain-20's 0.034, resting heights identical, no KE inflation
+        # (benchmarks/solver_convergence.py + the round-3 stability sweep
+        # in docs/BENCHMARKS.md; more aggressive settings that win the
+        # single-solve table — e.g. omega 1.3 beta 0.95 @7 — BLOW UP in
+        # trajectory, so both gates are required). Plain omega=1/beta=0
+        # @ 20 iters stays the engine-wide ODE-parity default and is
+        # re-measured every round as the parity line below.
+        solver_iterations=int(os.environ.get("BENCH_ITERS", 8)),
+        jacobi_omega=float(os.environ.get("BENCH_OMEGA", 1.3)),
         jacobi_beta=float(os.environ.get("BENCH_BETA", 0.9)),
         solver_loop_unroll=int(os.environ.get("BENCH_SOLVER_UNROLL", 1)),
         friction=os.environ.get("BENCH_FRICTION", "1") != "0",
@@ -141,6 +146,7 @@ def main():
         # sb 74, bb 30) with overflow counters zero through settling.
         typed_buckets=os.environ.get("BENCH_TYPED", "1") != "0",
         bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
+        pallas_compaction=os.environ.get("BENCH_PALLAS_COMPACT", "0") != "0",
     )
 
     value, dt, num_dynamic = _measure(

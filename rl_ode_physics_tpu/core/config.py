@@ -20,6 +20,11 @@ import enum
 import math
 
 
+def jnp_dtype_is_bf16(name: str) -> bool:
+    """dtype-string check without importing jax at module import time."""
+    return str(name) in ("bfloat16", "bf16")
+
+
 class SolverKind(enum.Enum):
     """Contact solver flavor.
 
@@ -30,19 +35,20 @@ class SolverKind(enum.Enum):
       contact row updates in parallel from the previous iterate. The
       TPU-native throughput solver — one fused vector pass per iteration
       across the whole world batch.
-    * ``FUSED`` — the Pallas substep megakernel (``ops/megakernel.py``):
-      same Jacobi math, but broadphase + narrowphase + solve + integrate run
-      as ONE VMEM-resident kernel launch per substep (no compaction sorts,
-      no per-phase dispatch overhead). Falls back to JACOBI when a trimesh
-      is attached (the mesh sweep has its own kernel) or off-TPU.
     * ``DANTZIG`` — direct LCP (Lemke/Dantzig principal pivoting like ODE's
       ``dWorldStep``, the call the reference actually makes at
       ``src/main.c:213``). f64 conformance path, not a throughput solver.
+
+    (A fourth kind, ``FUSED`` — a whole-substep Pallas megakernel — was
+    built, bitwise-verified, and RETIRED in round 3: measured slower than
+    the jnp JACOBI path it duplicated at every tried granularity, because
+    XLA already keeps the chunked solver loop's working set VMEM-resident
+    and the in-kernel per-world matmuls pay the same MXU B-operand-load
+    floor. Full record in docs/BENCHMARKS.md.)
     """
 
     PGS = "pgs"
     JACOBI = "jacobi"
-    FUSED = "fused"
     DANTZIG = "dantzig"
 
 
@@ -78,7 +84,7 @@ class EngineConfig:
     # per-body surface parameters: contact rows mix the two bodies'
     # WorldState.friction/restitution as min(mu) / max(bounce) instead of
     # using the global mu/bounce (beyond parity — ODE sets these per
-    # contact in the NearCallback). JACOBI/PGS/FUSED-fallback only.
+    # contact in the NearCallback). JACOBI and PGS.
     per_body_surface: bool = False
     erp: float = 0.2                 # ODE default (never overridden by ref)
     cfm: float = 1e-5                # ODE dSINGLE default
@@ -102,12 +108,26 @@ class EngineConfig:
     # typed-bucket narrowphase (ops/narrowphase.py:narrowphase_typed): one
     # compacted candidate list per pair type, each running only its own
     # kernel at its intrinsic manifold size. Throughput path for
-    # JACOBI/FUSED (contact rows grouped by bucket, not global pair order);
+    # JACOBI (contact rows grouped by bucket, not global pair order);
     # conformance runs keep the classic path. Default per-bucket candidate
     # capacity is max_pair_candidates; override per type pair via
     # bucket_caps = ((t1, t2, cap), ...).
     typed_buckets: bool = False
     bucket_caps: tuple = ()
+    # trimesh phase-1 probes per body (ops/trimesh.py:mesh_narrowphase):
+    # 3 = body center + the two long-axis extremities (boxes/capsules), so
+    # a long body spanning separated mesh regions keeps candidate
+    # triangles under BOTH ends; 1 = center-only (round-2 behavior,
+    # cheaper — the phase-1 tile sweep cost scales with probe count).
+    mesh_probes: int = 3
+    # contact-payload compaction via the VMEM one-hot Pallas kernel
+    # (ops/compaction_pallas.py) on TPU backends — bitwise-identical to the
+    # jnp selector-matmul path, minus the HBM round-trip of the (M, C)
+    # one-hot. Off by default: isolated it is 1.4× faster, but end-to-end
+    # the production chunk regime is op-dispatch-floor-bound and the kernel
+    # boundary costs more than the HBM it saves (docs/BENCHMARKS.md).
+    # Auto-falls back to the jnp path off-TPU.
+    pallas_compaction: bool = False
 
     # --- contact surface (reference NearCallback, src/main.c:684-687) ----
     bounce: float = 0.2
@@ -140,6 +160,51 @@ class EngineConfig:
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
+
+    def validate(self) -> "EngineConfig":
+        """Reject unsupported feature compositions at CONFIG time.
+
+        The full capability matrix is documented in docs/API.md; every
+        unsupported cell errors here (when the step function is built), not
+        as a mid-trace surprise. Returns self so call sites can chain.
+        """
+        errors = []
+        if self.solver is SolverKind.DANTZIG:
+            if self.friction and not math.isinf(self.mu):
+                errors.append(
+                    "DANTZIG + finite mu: the direct LCP solves the mu=inf "
+                    "surface (bilateral friction rows, the reference's "
+                    "setting, src/main.c:687); boxed-friction pivoting is "
+                    "not implemented. Use PGS/JACOBI, mu=math.inf, or "
+                    "friction=False.")
+            if self.per_body_surface:
+                errors.append(
+                    "DANTZIG + per_body_surface: per-row friction bounds "
+                    "are not plumbed into the direct solve. Use JACOBI or "
+                    "PGS.")
+        if (jnp_dtype_is_bf16(self.selector_dtype)
+                and self.max_bodies > 256):
+            errors.append(
+                "selector_dtype='bfloat16' requires max_bodies <= 256 "
+                "(body slot ids ride the selector matmuls and must be "
+                "bf16-exact).")
+        key_space = self.max_bodies ** 2 * self.max_contacts_per_pair
+        if key_space >= 2 ** 24:
+            errors.append(
+                f"contact-key space {key_space} (max_bodies="
+                f"{self.max_bodies}, K={self.max_contacts_per_pair}) "
+                f"exceeds the f32 exact-integer range 2^24; warm-start "
+                f"keys packed through the f32 payload would silently "
+                f"collide. Reduce max_bodies or max_contacts_per_pair.")
+        if self.dense_pipeline and self.typed_buckets:
+            errors.append(
+                "dense_pipeline and typed_buckets are mutually exclusive "
+                "narrowphase strategies.")
+        if errors:
+            raise ValueError(
+                "unsupported EngineConfig composition:\n- "
+                + "\n- ".join(errors))
+        return self
 
     def bucket_capacity(self, t1: int, t2: int) -> int:
         """Candidate capacity of the (t1, t2) typed narrowphase bucket."""

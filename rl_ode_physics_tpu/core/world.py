@@ -280,14 +280,6 @@ def _step_impl(state: WorldState, config: EngineConfig, trimesh,
             max_penetration=jnp.max(jnp.where(valid, depths, 0.0)),
         )
 
-    if (config.solver is SolverKind.FUSED and trimesh is None
-            and joints is None and not config.per_body_surface
-            and _pallas_available()):
-        from rl_ode_physics_tpu.ops import megakernel
-        return megakernel.fused_step(state, config, with_metrics=with_metrics)
-    # FUSED off-TPU or with a trimesh attached falls through to the regular
-    # pipeline, where solve() runs the same math as JACOBI.
-
     exclude = None
     if joints is not None:
         from rl_ode_physics_tpu.ops.joints import connected_mask
@@ -384,7 +376,11 @@ def make_step_fn(config: EngineConfig, substeps: int = 1, donate: bool = True,
     snapshots is one device launch). ``donate`` enables XLA buffer donation
     so the world state updates in place in HBM. ``trimesh`` (a static
     ``TriMesh``) is baked into the compiled program as constants.
+
+    Unsupported feature compositions error HERE (config time), not
+    mid-trace: ``EngineConfig.validate`` / docs/API.md capability matrix.
     """
+    config.validate()
     if trimesh is None and joints is None:
         # hashable args → share compilations across callers
         return _make_step_fn_cached(config, substeps, donate)

@@ -120,3 +120,31 @@ def bench_world(config: EngineConfig, num_bodies: int = 60,
                                color=rng.color())
                 n += 1
     return b.finish()
+
+
+def mini_stack_world(config: EngineConfig, seed: int = 0) -> WorldState:
+    """Reduced BASELINE config 2 (the referee-conformance scene): box tower
+    + spheres + dynamic/kinematic capsules on the arena floor. Tower boxes
+    use distinct side lengths so ODE's SAT face-selection argmax is never
+    degenerate between two implementations (the |C|+1e-6 fudge breaks ties
+    only when the box extents differ). Shared by tests/_traj_engine.py (f64
+    conformance subprocess) and the in-process TPU-default-precision
+    trajectory tests."""
+    del seed
+    b = WorldBuilder(config, 0)
+    b.add_body_map((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (100.0, 1.0, 100.0))
+    # 3-box tower, distinct sizes, slight initial clearance
+    b.add_body(BodyType.BOX, (0.0, 0.88, 0.0), (0.7, 0.7, 0.7))
+    b.add_body(BodyType.BOX, (0.05, 1.58, 0.03), (0.6, 0.6, 0.6))
+    b.add_body(BodyType.BOX, (-0.04, 2.20, -0.02), (0.5, 0.5, 0.5))
+    # spheres: one near rest, one dropped
+    b.add_body(BodyType.SPHERE, (1.5, 0.85, 0.0), (0.3, 0.0, 0.0))
+    b.add_body(BodyType.SPHERE, (-1.5, 1.5, 0.3), (0.3, 0.0, 0.0))
+    # dynamic capsule lying on its side (local Z rotated onto world X)
+    s = float(np.sin(np.pi / 4))
+    b.add_body(BodyType.CAPSULE, (0.0, 0.83, 2.0), (0.25, 1.0, 0.0),
+               quat=(s, 0.0, s, 0.0))
+    # kinematic player capsule standing in the scene
+    b.add_body(BodyType.CAPSULE, (3.0, 1.5, 0.0), (0.5, 1.0, 0.0),
+               kinematic=True)
+    return b.finish()

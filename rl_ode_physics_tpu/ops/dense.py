@@ -21,9 +21,10 @@ hundred bodies; above that use the sparse pipeline (the default).
 Status: EXPERIMENTAL. Results match the sparse pipeline; on the current TPU
 backend XLA pins the solver's loop-carried (N, N, K, 3) constants to default
 layouts whose (4, 3)-minor tiles pad 42× (measured: 26 GB for 512 worlds),
-so the dense path is only practical on CPU / tiny batches today. It is the
-algorithmic blueprint for the planned Pallas substep megakernel, where
-layout is explicit and the padding problem disappears.
+so the dense path is only practical on CPU / tiny batches today. (It was
+also the algorithmic blueprint for the FUSED substep megakernel, which was
+built, measured slower than the chunked jnp path, and retired in round 3 —
+docs/BENCHMARKS.md.)
 """
 
 from __future__ import annotations

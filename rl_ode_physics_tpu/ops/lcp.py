@@ -29,7 +29,7 @@ fixed-shape masked linear solves → jit- and vmap-safe.
 
 This is the conformance path (run in float64 under ``jax_enable_x64``), not
 a throughput solver: A is dense (3C × 3C) and each pivot costs a full solve.
-Use JACOBI/FUSED for throughput (BASELINE config 4), DANTZIG/PGS for
+Use JACOBI for throughput (BASELINE config 4), DANTZIG/PGS for
 trajectory-accuracy work.
 """
 

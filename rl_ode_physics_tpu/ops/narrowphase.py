@@ -774,7 +774,7 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
     global K. Bucketing removes both costs (round-2 profile: narrowphase
     ≈ 1/3 of the substep). Trade-off: contact rows come out grouped by
     bucket rather than in global pair order, so this is the *throughput*
-    path (Jacobi/FUSED — order-independent math); conformance runs (PGS
+    path (Jacobi — order-independent math); conformance runs (PGS
     row-order parity with the referee) keep the classic path. Enabled via
     ``EngineConfig.typed_buckets``.
     """
@@ -938,9 +938,21 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
         packed_t = jnp.concatenate([packed_t, e_packed_t], axis=1)
         flat_valid = jnp.concatenate([flat_valid, e_val])
 
-    rows_t, cvalid, count, overflow = compact_rows_t(
-        flat_valid, packed_t, ccap,
-        sel_dtype=sel_dt if sel_dt != f else None)
+    c_sel = sel_dt if sel_dt != f else None
+    if config.pallas_compaction:
+        from rl_ode_physics_tpu.ops.compaction_pallas import (
+            compact_rows_t_pallas, pallas_ok)
+    if config.pallas_compaction and pallas_ok():
+        # VMEM one-hot kernel (ops/compaction_pallas.py): bitwise-identical
+        # to the jnp selector matmul. NOT the default — isolated it wins
+        # 2.31 → 1.65 ms/2048 worlds, but end-to-end at chunk 128 it
+        # measures 33.4 → 32.7M bs/s: the kernel boundary adds ops to a
+        # dispatch-floor-bound program (docs/BENCHMARKS.md round-3 notes)
+        rows_t, cvalid, count, overflow = compact_rows_t_pallas(
+            flat_valid, packed_t, ccap, sel_dtype=c_sel)
+    else:
+        rows_t, cvalid, count, overflow = compact_rows_t(
+            flat_valid, packed_t, ccap, sel_dtype=c_sel)
     a_out = rows_t[7].astype(jnp.int32)
     b_out = rows_t[8].astype(jnp.int32)
     slot_out = jnp.round(rows_t[9]).astype(jnp.int32)

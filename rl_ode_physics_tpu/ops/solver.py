@@ -358,8 +358,8 @@ def _half_row_selector(state: WorldState, contacts: Contacts):
 
 def pack_solver_inputs(state: WorldState, contacts: Contacts,
                        config: EngineConfig):
-    """Once-per-substep packed solver constants (shared by the jnp Jacobi
-    loop, the VMEM Pallas kernel, and the FUSED megakernel):
+    """Once-per-substep packed solver constants (the jnp Jacobi loop's
+    working set — kept 2-D and wide per the layout rules):
 
       s_mat   (2C, N): one-hot half-row selector (a-rows ‖ b-rows)
       rowdata (C, 32): n t1 t2 | r×n per side/axis | d_n d_t1 d_t2
@@ -665,6 +665,4 @@ def solve(state: WorldState, contacts: Contacts,
                 0, config.solver_iterations, body, (vel8, jlam))
             state = state.replace(linvel=vel8[:, 0:3], angvel=vel8[:, 3:6])
         return state
-    # JACOBI, and the FUSED fallback when the megakernel can't run
-    # (trimesh attached or non-TPU backend) — same math as the megakernel.
     return solve_jacobi(state, contacts, config, joints_rows=joints_rows)

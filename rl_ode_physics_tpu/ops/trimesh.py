@@ -462,10 +462,15 @@ def mesh_narrowphase(state: WorldState, mesh: TriMesh, config: EngineConfig,
     concatenated with the primitive narrowphase output before compaction.
     Contact convention: body = a, mesh slot = b (normal a→b).
 
-    Caveat: phase-1 ranks triangles by distance from the body CENTER; a
-    capsule longer than ~2 tile diameters can miss end-cap triangles if
-    more than ``CAND_TRIS`` triangles crowd its middle. The bench/teapot
-    workloads are far from this regime.
+    Phase-1 probe placement (round 3 — closes the "long body bridging two
+    mesh regions" gap): ``config.mesh_probes`` probes per body ride the
+    tile sweep — the body CENTER plus, for boxes and capsules, the two
+    LONG-AXIS EXTREMITIES (box: ±R·(half ⊙ onehot(argmax half)); capsule:
+    ±axis·(h+r)). Tile and triangle candidate ranking take the MIN distance
+    over a body's probes, so a long box spanning two separated ridges
+    collects candidate triangles under BOTH ends instead of only under its
+    middle (``tests/test_trimesh_exact.py::test_long_box_bridging_ridges``).
+    ``mesh_probes=1`` restores the round-2 center-only behavior.
     """
     from rl_ode_physics_tpu.utils import quat as quat_m
 
@@ -477,21 +482,46 @@ def mesh_narrowphase(state: WorldState, mesh: TriMesh, config: EngineConfig,
     kt = min(CAND_TILES, nt)
     ke = CAND_TRIS
 
-    # ---- phase 1: center-probe tile distances --------------------------
+    r_mat = quat_m.to_matrix(state.quat)                       # (N, 3, 3)
+    half = 0.5 * state.size
+    r_sph = state.size[:, 0]
+    axis_z = r_mat[:, :, 2]
+    h_cap = 0.5 * state.size[:, 1]
+
+    btype = state.body_type
+    is_sphere = btype == BodyType.SPHERE
+    is_box = btype == BodyType.BOX
+    is_capsule = btype == BodyType.CAPSULE
+
+    # ---- phase 1: multi-probe tile distances ---------------------------
     centers = state.pos                                       # (N, 3)
-    pad = (-n) % 8
+    p_cnt = max(1, int(config.mesh_probes))
+    if p_cnt > 1:
+        # long-axis extremity offset per body (branch-free by type)
+        ax_oh = jax.nn.one_hot(jnp.argmax(half, -1), 3, dtype=dtype)
+        box_off = jnp.sum(r_mat * (half * ax_oh)[:, None, :], -1)  # (N, 3)
+        cap_off = axis_z * (h_cap + r_sph)[:, None]
+        off = jnp.where(is_box[:, None], box_off,
+                        jnp.where(is_capsule[:, None], cap_off, 0.0))
+        probes = jnp.stack(
+            [centers, centers + off, centers - off], axis=1)   # (N, P, 3)
+    else:
+        probes = centers[:, None, :]
+    flat_probes = probes.reshape(n * p_cnt, 3)
+    pad = (-(n * p_cnt)) % 8
     flat_p = jnp.concatenate(
-        [centers, jnp.full((pad, 3), 1e9, dtype)]) if pad else centers
+        [flat_probes, jnp.full((pad, 3), 1e9, dtype)]) if pad else flat_probes
     if use_pallas:
         from rl_ode_physics_tpu.ops.pallas_kernels import sphere_mesh_d2_tiles
-        tile_d2 = sphere_mesh_d2_tiles(flat_p, mesh.v0.T, mesh.e1.T,
-                                       mesh.e2.T)[:n]          # (N, NT)
+        tile_d2_p = sphere_mesh_d2_tiles(flat_p, mesh.v0.T, mesh.e1.T,
+                                         mesh.e2.T)[:n * p_cnt]
     else:
         closest = jax.vmap(
             lambda c: closest_point_triangle(c, mesh.v0, mesh.e1, mesh.e2)
-        )(centers)                                             # (N, T, 3)
-        d2 = jnp.sum((closest - centers[:, None, :]) ** 2, -1)
-        tile_d2 = jnp.min(d2.reshape(n, nt, MESH_TILE), axis=-1)
+        )(flat_probes)                                         # (NP, T, 3)
+        d2 = jnp.sum((closest - flat_probes[:, None, :]) ** 2, -1)
+        tile_d2_p = jnp.min(d2.reshape(n * p_cnt, nt, MESH_TILE), axis=-1)
+    tile_d2 = jnp.min(tile_d2_p.reshape(n, p_cnt, nt), axis=1)  # (N, NT)
 
     _, top_tiles = jax.lax.top_k(-tile_d2, kt)                 # (N, kt)
     sel_t = (top_tiles[..., None] == jnp.arange(nt)[None, None, :]
@@ -503,10 +533,13 @@ def mesh_narrowphase(state: WorldState, mesh: TriMesh, config: EngineConfig,
         "pkt,td->pkd", sel_t, tri_feat.reshape(nt, MESH_TILE * 12)
     ).reshape(n, kt * MESH_TILE, 12)                           # (N, kt·128, 12)
 
-    # per-triangle center distance on the candidate tiles → CAND_TRIS best
-    cl = jax.vmap(lambda c, ft: closest_point_triangle(
-        c, ft[:, 0:3], ft[:, 3:6], ft[:, 6:9]))(centers, feat_k)
-    d2_tri = jnp.sum((cl - centers[:, None, :]) ** 2, -1)      # (N, kt·128)
+    # per-triangle min-over-probes distance on the candidate tiles →
+    # CAND_TRIS best (probe-min, like the tile ranking, so both ends of a
+    # long body keep candidates)
+    cl = jax.vmap(lambda ps, ft: jax.vmap(lambda c: closest_point_triangle(
+        c, ft[:, 0:3], ft[:, 3:6], ft[:, 6:9]))(ps))(probes, feat_k)
+    d2_tri = jnp.min(
+        jnp.sum((cl - probes[:, :, None, :]) ** 2, -1), axis=1)  # (N, kt·128)
     _, top_tri = jax.lax.top_k(-d2_tri, ke)                    # (N, ke)
     sel_e = (top_tri[..., None]
              == jnp.arange(kt * MESH_TILE)[None, None, :]).astype(dtype)
@@ -515,18 +548,8 @@ def mesh_narrowphase(state: WorldState, mesh: TriMesh, config: EngineConfig,
     e2_e, n_e = feat_e[..., 6:9], feat_e[..., 9:12]
 
     # ---- phase 2: exact contacts per body type -------------------------
-    r_mat = quat_m.to_matrix(state.quat)                       # (N, 3, 3)
-    half = 0.5 * state.size
-    r_sph = state.size[:, 0]
-    axis_z = r_mat[:, :, 2]
-    h_cap = 0.5 * state.size[:, 1]
     cap_p0 = state.pos - axis_z * h_cap[:, None]
     cap_p1 = state.pos + axis_z * h_cap[:, None]
-
-    btype = state.body_type
-    is_sphere = btype == BodyType.SPHERE
-    is_box = btype == BodyType.BOX
-    is_capsule = btype == BodyType.CAPSULE
 
     parts_p, parts_n, parts_d, parts_v = [], [], [], []
 

@@ -37,23 +37,7 @@ def replicate(state: WorldState, num_worlds: int,
 
 
 def batched_step(batch: WorldState, config: EngineConfig) -> WorldState:
-    """One substep for every world in the batch.
-
-    ``SolverKind.FUSED`` routes through the Pallas substep megakernel
-    (``ops/megakernel.py``) so the whole batch's solve is ONE kernel launch
-    (vmap-of-step would give the kernel one world per grid step — the
-    round-1 granularity that lost to the jnp path)."""
-    from rl_ode_physics_tpu.core.config import SolverKind
-    from rl_ode_physics_tpu.core.world import _pallas_available
-
-    # mirror core.world._step_impl's guard: the megakernel drops
-    # pack_solver_inputs extras and bakes global mu/bounce, so per-body
-    # surface params must fall back to the vmapped step path (which honors
-    # them) instead of silently diverging from single-world step().
-    if (config.solver is SolverKind.FUSED and not config.per_body_surface
-            and _pallas_available()):
-        from rl_ode_physics_tpu.ops import megakernel
-        return megakernel.fused_step_batched(batch, config)
+    """One substep for every world in the batch."""
     return jax.vmap(lambda s: step(s, config))(batch)
 
 
@@ -78,6 +62,8 @@ def make_batched_step_fn(config: EngineConfig, substeps: int = 1,
     carry copies (~14% faster at full unroll, measured) at the cost of
     proportionally longer compiles.
     """
+    config.validate()      # unsupported compositions error at config time
+
     def fn(batch: WorldState) -> WorldState:
         if config.dense_pipeline:
             # the dense pipeline's (N, N, K, 3) intermediates tile-pad ~42x

@@ -60,6 +60,14 @@ class RefereeConfig:
     # the unique solution of (A + cfm/h·I)λ = rhs with normal-row
     # complementarity; mirrors the engine's SolverKind.DANTZIG)
     solver: str = "pgs"
+    # ODE QuickStep randomizes the constraint sweep order per iteration
+    # (dxQuickStepper reorders rows before each SOR pass); both the engine
+    # and this referee deliberately drop that for bitwise lockstep replay
+    # (SURVEY.md §2d). Setting a seed here restores it — used by
+    # tests/test_conformance_referee.py to BOUND the divergence the dropped
+    # randomization induces (showing it is a tolerance-level choice, not a
+    # load-bearing one).
+    randomize_rows: int | None = None
 
 
 def state_to_numpy(state) -> dict:
@@ -601,8 +609,19 @@ def _solve_pgs(w, rowdata, inv_i_world, cfg: RefereeConfig):
         w["linvel"][b] = w["linvel"][b] + w["inv_mass"][b] * imp
         w["angvel"][b] = w["angvel"][b] + inv_i_world[b] @ np.cross(rd["r_b"], imp)
 
+    # ODE QuickStep's per-iteration constraint reordering, reproduced as an
+    # option: dxQuickStepper permutes the row order before each SOR pass
+    # (deliberately dropped by both engine and referee for bitwise replay —
+    # SURVEY.md §2d). The permutation changes the Gauss-Seidel sweep path
+    # but not the fixed point of the regularized system.
+    rng = (np.random.default_rng(cfg.randomize_rows)
+           if cfg.randomize_rows is not None else None)
+
     for _ in range(cfg.solver_iterations):
-        for k, rd in enumerate(rowdata):
+        order = (rng.permutation(len(rowdata)) if rng is not None
+                 else range(len(rowdata)))
+        for k in order:
+            rd = rowdata[k]
             # residual includes ODE's CFM softening −cfm/h·λ (QuickStep
             # converges to (A + cfm/h·I)λ = rhs — engine spec ops/solver.py)
             dlam = omega * (rd["target"] - rel_v(rd, rd["n"])

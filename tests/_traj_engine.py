@@ -23,10 +23,8 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 
 from rl_ode_physics_tpu.core.config import EngineConfig, SolverKind
-from rl_ode_physics_tpu.core.state import BodyType
 from rl_ode_physics_tpu.core.world import make_step_fn
 from rl_ode_physics_tpu.models import scenes
-from rl_ode_physics_tpu.models.builder import WorldBuilder
 from rl_ode_physics_tpu.testing.referee import state_to_numpy
 
 def make_cfg(solver: str) -> EngineConfig:
@@ -45,27 +43,8 @@ CFG = make_cfg("pgs")
 
 
 def mini_stack_world(cfg):
-    """Reduced BASELINE config 2: box tower + spheres + capsules on the
-    floor. Tower boxes use distinct side lengths so ODE's SAT face-selection
-    argmax is never degenerate between the two implementations (the |C|+1e-6
-    fudge breaks ties only when the box extents differ)."""
-    b = WorldBuilder(cfg, 0)
-    b.add_body_map((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (100.0, 1.0, 100.0))
-    # 3-box tower, distinct sizes, slight initial clearance
-    b.add_body(BodyType.BOX, (0.0, 0.88, 0.0), (0.7, 0.7, 0.7))
-    b.add_body(BodyType.BOX, (0.05, 1.58, 0.03), (0.6, 0.6, 0.6))
-    b.add_body(BodyType.BOX, (-0.04, 2.20, -0.02), (0.5, 0.5, 0.5))
-    # spheres: one near rest, one dropped
-    b.add_body(BodyType.SPHERE, (1.5, 0.85, 0.0), (0.3, 0.0, 0.0))
-    b.add_body(BodyType.SPHERE, (-1.5, 1.5, 0.3), (0.3, 0.0, 0.0))
-    # dynamic capsule lying on its side (local Z rotated onto world X)
-    s = float(np.sin(np.pi / 4))
-    b.add_body(BodyType.CAPSULE, (0.0, 0.83, 2.0), (0.25, 1.0, 0.0),
-               quat=(s, 0.0, s, 0.0))
-    # kinematic player capsule standing in the scene
-    b.add_body(BodyType.CAPSULE, (3.0, 1.5, 0.0), (0.5, 1.0, 0.0),
-               kinematic=True)
-    return b.finish()
+    """Reduced BASELINE config 2 — shared scene, models/scenes.py."""
+    return scenes.mini_stack_world(cfg)
 
 
 def build(scene: str, cfg: EngineConfig):

@@ -61,3 +61,23 @@ def test_compact_mask_jit_vmap():
         ref = _ref_indices(np.asarray(masks[b]), 32)
         got = np.asarray(idx[b])[np.asarray(valid[b])]
         assert np.array_equal(got, ref)
+
+
+def test_compact_rows_t_pallas_matches_jnp():
+    """VMEM one-hot Pallas kernel (ops/compaction_pallas.py) vs the jnp
+    selector-matmul path — bitwise, both sel dtypes. On CPU this runs the
+    Pallas interpreter; the compiled kernel was bitwise-verified on real
+    TPU hardware (both dtypes) before the opt-in flag landed."""
+    from rl_ode_physics_tpu.ops.compaction import compact_rows_t
+    from rl_ode_physics_tpu.ops.compaction_pallas import compact_rows_t_pallas
+
+    rng = np.random.default_rng(3)
+    m, d, k = 384, 10, 128
+    mask = jnp.asarray(rng.uniform(size=m) < 0.25)
+    payload_t = jnp.asarray(rng.normal(size=(d, m)).astype(np.float32))
+    for sd in (None, "bfloat16"):
+        ref = compact_rows_t(mask, payload_t, k, sel_dtype=sd)
+        got = compact_rows_t_pallas(mask, payload_t, k, sel_dtype=sd,
+                                    interpret=True)
+        for r, g in zip(ref, got):
+            assert np.array_equal(np.asarray(r), np.asarray(g))

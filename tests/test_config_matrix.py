@@ -1,0 +1,92 @@
+"""Capability-matrix contract (docs/API.md): every unsupported solver ×
+feature composition errors at CONFIG time (EngineConfig.validate via
+make_step_fn), never as a silent fallback or a mid-trace surprise; every
+supported cell steps.
+
+VERDICT round-2 item 6: the matrix previously had holes a user hit at
+runtime (finite-mu DANTZIG raised mid-trace, FUSED silently fell back).
+FUSED is retired (round 3); the remaining cells are enforced here.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rl_ode_physics_tpu.core.config import EngineConfig, SolverKind
+from rl_ode_physics_tpu.core.world import make_step_fn
+from rl_ode_physics_tpu.models import scenes
+
+SMALL = dict(max_bodies=8, max_pair_candidates=32, max_contacts=32)
+
+
+def test_dantzig_finite_mu_errors_at_config_time():
+    cfg = EngineConfig(solver=SolverKind.DANTZIG, mu=1.0, **SMALL)
+    with pytest.raises(ValueError, match="DANTZIG .* finite mu"):
+        make_step_fn(cfg, donate=False)
+
+
+def test_dantzig_finite_mu_ok_without_friction():
+    cfg = EngineConfig(solver=SolverKind.DANTZIG, mu=1.0, friction=False,
+                       **SMALL)
+    w = scenes.sphere_drop_world(cfg, height=1.0)
+    w = make_step_fn(cfg, donate=False)(w)
+    assert np.isfinite(np.asarray(w.pos)).all()
+
+
+def test_dantzig_per_body_surface_errors_at_config_time():
+    cfg = EngineConfig(solver=SolverKind.DANTZIG, per_body_surface=True,
+                       **SMALL)
+    with pytest.raises(ValueError, match="per_body_surface"):
+        make_step_fn(cfg, donate=False)
+
+
+def test_bf16_selectors_capped_at_256_bodies():
+    cfg = EngineConfig(selector_dtype="bfloat16", max_bodies=512,
+                       max_pair_candidates=512, max_contacts=256,
+                       max_contacts_per_pair=4)
+    with pytest.raises(ValueError, match="bfloat16"):
+        make_step_fn(cfg, donate=False)
+
+
+def test_warmstart_key_space_capped():
+    cfg = EngineConfig(max_bodies=2048, max_pair_candidates=512,
+                       max_contacts=256, max_contacts_per_pair=8)
+    with pytest.raises(ValueError, match="2\\^24|exceeds"):
+        make_step_fn(cfg, donate=False)
+
+
+def test_dense_plus_typed_buckets_rejected():
+    cfg = EngineConfig(dense_pipeline=True, typed_buckets=True, **SMALL)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_step_fn(cfg, donate=False)
+
+
+def test_warmstart_rejects_dantzig():
+    from rl_ode_physics_tpu.ops.warmstart import make_warm_step_fn
+    cfg = EngineConfig(solver=SolverKind.DANTZIG, **SMALL)
+    with pytest.raises(ValueError, match="PGS and JACOBI"):
+        make_warm_step_fn(cfg)
+
+
+@pytest.mark.parametrize("solver", [SolverKind.JACOBI, SolverKind.PGS])
+def test_finite_mu_iterative_solvers_step(solver):
+    """Finite μ is a WORKS cell for the iterative solvers: a sliding box on
+    the floor decelerates under the pyramid bound but does not stop dead
+    (μ=0.3 < the stiction needed at this speed)."""
+    from rl_ode_physics_tpu.core.state import BodyType
+    from rl_ode_physics_tpu.models.builder import WorldBuilder
+
+    cfg = EngineConfig(solver=solver, mu=0.3, solver_iterations=20, **SMALL)
+    b = WorldBuilder(cfg, 0)
+    b.add_body_map((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (100.0, 1.0, 100.0))
+    slot = b.add_body(BodyType.BOX, (0.0, 0.751, 0.0), (0.5, 0.5, 0.5))
+    w = b.finish()
+    w = w.replace(linvel=w.linvel.at[slot, 0].set(4.0))
+    stepf = make_step_fn(cfg, substeps=1, donate=False)
+    v0 = float(w.linvel[slot, 0])
+    for _ in range(30):
+        w = stepf(w)
+    v1 = float(w.linvel[slot, 0])
+    assert 0.0 < v1 < v0 - 0.3, (v0, v1)  # decelerating, not stopped

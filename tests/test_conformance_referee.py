@@ -89,3 +89,100 @@ def test_config2_mini_stack_trajectory(tmp_path):
     err, qerr = _run("mini_stack", tmp_path)
     assert err <= TOL, f"trajectory error {err:.3e} exceeds {TOL}"
     assert qerr <= 1e-3
+
+
+def _mini_stack_init():
+    """f64 initial state of the shared mini_stack scene (models/scenes.py)."""
+    from rl_ode_physics_tpu.core.config import EngineConfig
+    from rl_ode_physics_tpu.models import scenes
+    from rl_ode_physics_tpu.testing.referee import state_to_numpy
+    cfg = EngineConfig(max_bodies=16, max_pair_candidates=128,
+                       max_contacts=256)
+    w = scenes.mini_stack_world(cfg)
+    init = {k: np.asarray(v, np.float64) if v.dtype.kind == "f" else v
+            for k, v in state_to_numpy(w).items()}
+    return cfg, w, init
+
+
+def test_randomized_row_order_bound():
+    """Bound the divergence ODE's per-iteration row randomization induces.
+
+    Real ODE QuickStep permutes the constraint sweep order before each SOR
+    pass; engine and referee both drop that for bitwise lockstep replay
+    (SURVEY.md §2d). This test runs the referee with and without the
+    randomization (RefereeConfig.randomize_rows) over 1k steps of the
+    mini_stack scene and asserts the induced trajectory deviation stays at
+    tolerance level — i.e. the dropped randomization is a convergence
+    ordering detail, not a load-bearing part of QuickStep's semantics. The
+    measured bound is quoted in docs/CONFORMANCE.md.
+    """
+    _, _, init = _mini_stack_init()
+    steps = 1000
+    pos_o, _ = _referee_traj(init, steps)
+    cfg_r = RefereeConfig(randomize_rows=0)
+    w = dict(init)
+    pos_r = []
+    for _ in range(steps):
+        w = referee_step(w, cfg_r)
+        pos_r.append(w["pos"].copy())
+    pos_r = np.stack(pos_r)
+
+    active = init["body_type"] != 0
+    err = _max_rel_err(pos_o, pos_r, active)
+    # late-steady agreement: resting heights over the last 100 steps
+    late = np.abs(pos_o[-100:, active, 1] - pos_r[-100:, active, 1]).max()
+    print(f"[conformance:row-randomization] max rel pos divergence = "
+          f"{err:.3e}, late resting-height divergence = {late:.3e} "
+          f"over {steps} steps")
+    assert err <= 2e-2, (
+        f"row-order randomization diverges trajectories by {err:.3e} — "
+        f"the dropped randomization would be load-bearing")
+    assert late <= 2e-3
+
+
+def test_throughput_config_trajectory():
+    """Measure the SHIPPED throughput configuration against the f64 referee.
+
+    The bench/production path is f32, JACOBI (mass-split heavy-ball,
+    omega=1.2 beta=0.9, 10 iterations), typed-bucket narrowphase, K=4
+    fold-merge manifolds, default matmul precision — every one of which is
+    a documented deviation from the conformance-grade CPU-f64-PGS-exact
+    path the 1e-5 bar is measured on (docs/CONFORMANCE.md). This test
+    quantifies the trajectory-level error of that shipped path over 1k
+    steps (VERDICT round-2 item 2a: previously only the conformance path
+    had a trajectory number) and asserts the behavior-level contract:
+    bounded divergence, matching resting heights at steady state.
+
+    (On TPU hardware the default matmul precision additionally rounds
+    matmul operands to bf16; benchmarks/tpu_default_conformance.py runs
+    this same comparison on the real chip — numbers in CONFORMANCE.md.)
+    """
+    import jax
+    from rl_ode_physics_tpu.core.config import SolverKind
+    from rl_ode_physics_tpu.core.world import make_step_fn
+
+    cfg, w, init = _mini_stack_init()
+    tcfg = cfg.replace(
+        solver=SolverKind.JACOBI, solver_iterations=10,
+        jacobi_omega=1.2, jacobi_beta=0.9,
+        typed_buckets=True, max_contacts_per_pair=4,
+    )
+    steps = 1000
+    stepf = make_step_fn(tcfg, substeps=1, donate=False)
+    pos_e = []
+    for _ in range(steps):
+        w = stepf(w)
+        pos_e.append(np.asarray(w.pos, np.float64))
+    pos_e = np.stack(pos_e)
+
+    pos_r, _ = _referee_traj(init, steps)
+    active = init["body_type"] != 0
+    err = _max_rel_err(pos_e, pos_r, active)
+    late = np.abs(pos_e[-100:, active, 1] - pos_r[-100:, active, 1]).max()
+    print(f"[conformance:throughput-config] max rel pos err = {err:.3e}, "
+          f"late resting-height err = {late:.3e} over {steps} steps "
+          f"(f32 JACOBI hb-10 typed K=4 vs f64 PGS-20 referee)")
+    # different solver family + f32: trajectory-level agreement is loose
+    # (quoted in docs/CONFORMANCE.md), but the physics contract holds
+    assert err <= 0.2, f"throughput-config divergence {err:.3e}"
+    assert late <= 0.02, f"steady-state resting heights diverge {late:.3e}"

@@ -117,3 +117,46 @@ def test_surface_params_compose_with_warmstart():
     # dead sphere settles on the floor without residual bouncing
     assert abs(float(w.pos[1, 1]) - 0.5) < 0.03
     assert abs(float(w.linvel[1, 1])) < 0.05
+
+
+def test_surface_params_apply_to_trimesh_contacts():
+    """VERDICT round-2 item 5b: per-body friction reaches MESH contact rows.
+
+    Two identical boxes slide on a trimesh floor with the same initial
+    velocity; one is made frictionless via set_body_surface. The slick box
+    must keep (nearly) all its speed while the grippy one (mesh-slot
+    friction mixes in as min(mu_box, mu_mesh)) stops. Exercises the
+    gathered-feature mu mixing of ops/solver.py through mesh rows, whose
+    ``b`` side is the mesh's world slot."""
+    from rl_ode_physics_tpu.ops import trimesh as tm
+    from tests.test_trimesh import grid_floor_mesh
+
+    verts, tris = grid_floor_mesh(n=4, size=40.0, y=0.0)
+    b = WorldBuilder(CFG, 0)
+    mesh_slot = b.add_body_map((0.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                               (0.0, 0.0, 0.0))
+    b.body_type[mesh_slot] = int(BodyType.TRIMESH)
+    s1 = b.add_body(BodyType.BOX, (0.0, 0.4, -3.0), (0.8, 0.8, 0.8))
+    s2 = b.add_body(BodyType.BOX, (0.0, 0.4, 3.0), (0.8, 0.8, 0.8))
+    w = b.finish()
+    mesh = tm.build_trimesh(verts, tris, slot=mesh_slot)
+
+    w = w.replace(linvel=w.linvel.at[s1, 0].set(4.0).at[s2, 0].set(4.0))
+    w = set_body_surface(w, s1, friction=0.0)     # slick box
+
+    stepf = make_step_fn(CFG, substeps=8, donate=False, trimesh=mesh)
+    for _ in range(10):
+        w = stepf(w)
+    v_slick = float(w.linvel[s1, 0])
+    v_grippy = float(w.linvel[s2, 0])
+    assert v_slick > 3.0, v_slick              # frictionless keeps sliding
+    assert v_grippy < 0.5, v_grippy            # mu=inf via mesh slot stops it
+
+    # and the mesh slot's own surface participates in the mixing: a slick
+    # MESH makes the grippy box slide too (min rule)
+    w2 = b.finish()
+    w2 = w2.replace(linvel=w2.linvel.at[s2, 0].set(4.0))
+    w2 = set_body_surface(w2, mesh_slot, friction=0.0)
+    for _ in range(10):
+        w2 = stepf(w2)
+    assert float(w2.linvel[s2, 0]) > 3.0

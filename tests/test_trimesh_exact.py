@@ -182,3 +182,84 @@ def test_capsule_oblique_triangle_unit_normal():
     # normal points core -> triangle = against the triangle normal
     np.testing.assert_allclose(np.asarray(nrm), -np.asarray(n_tri), atol=1e-4)
     np.testing.assert_allclose(float(dep), r - gap, atol=1e-5)
+
+
+def _patch_mesh(patches):
+    """Mesh from a list of (cx, cz, y, half, n) square grid patches."""
+    all_v, all_t = [], []
+    base = 0
+    for (cx, cz, y, half, n) in patches:
+        xs = np.linspace(cx - half, cx + half, n + 1)
+        zs = np.linspace(cz - half, cz + half, n + 1)
+        v = np.array([[x, y, z] for z in zs for x in xs], np.float32)
+        t = []
+        for r in range(n):
+            for c in range(n):
+                i = r * (n + 1) + c
+                t.append([i, i + 1, i + n + 1])
+                t.append([i + 1, i + n + 2, i + n + 1])
+        all_v.append(v)
+        all_t.append(np.array(t, np.int32) + base)
+        base += len(v)
+    return np.concatenate(all_v), np.concatenate(all_t)
+
+
+def test_long_box_bridging_ridges():
+    """VERDICT round-2 item 5: a long box bridging two separated mesh
+    ridges must generate contacts at BOTH ends.
+
+    The scene is adversarial for the round-2 single-center-probe phase 1:
+    a dense non-touching distractor patch sits just under the box CENTER
+    (closer than either ridge), so the 16 center-ranked candidate
+    triangles are all distractor triangles and the manifold comes out
+    empty. The round-3 long-axis extremity probes (EngineConfig.
+    mesh_probes=3) rank candidates by min-over-probes distance and find
+    the ridge triangles under each end."""
+    delta = 0.02
+    verts, tris = _patch_mesh([
+        (-2.0, 0.0, 1.0, 0.5, 2),     # left ridge top (touching)
+        (2.0, 0.0, 1.0, 0.5, 2),      # right ridge top (touching)
+        (0.0, 0.0, 0.90, 0.6, 4),     # dense distractor, 0.08 below the box
+    ])
+    mesh = tm.build_trimesh(verts, tris, slot=0)
+    b, slot = _mesh_world()
+    # 5 m long box, bottom at y = 1 - delta (sunk into the ridges)
+    b.add_body(BodyType.BOX, (0.0, 1.2 - delta, 0.0), (5.0, 0.4, 0.4))
+    w = b.finish()
+
+    pts, nrm, dep, a = _contacts_for(w, mesh)
+    assert len(dep) > 0, "bridging box lost its manifold entirely"
+    assert np.any(pts[:, 0] < -1.0), f"no left-ridge contact: x={pts[:, 0]}"
+    assert np.any(pts[:, 0] > 1.0), f"no right-ridge contact: x={pts[:, 0]}"
+    np.testing.assert_allclose(dep, delta, atol=1e-3)
+
+    # regression documentation: center-only phase 1 (mesh_probes=1, the
+    # round-2 behavior) misses both ridges in this scene
+    old_cfg = CFG.replace(mesh_probes=1)
+    pts1, _, _, _, _, val1 = tm.mesh_narrowphase(w, mesh, old_cfg)
+    assert not bool(np.asarray(val1).any()), (
+        "distractor scene no longer defeats the center probe; strengthen "
+        "the scene so the multi-probe test stays meaningful")
+
+
+def test_long_capsule_bridging_ridges():
+    """Same bridging contract for a long capsule (end-cap contacts)."""
+    delta = 0.02
+    verts, tris = _patch_mesh([
+        (-2.0, 0.0, 1.0, 0.5, 2),
+        (2.0, 0.0, 1.0, 0.5, 2),
+        (0.0, 0.0, 0.95, 0.6, 4),     # distractor 0.03 below the capsule
+    ])
+    mesh = tm.build_trimesh(verts, tris, slot=0)
+    b, slot = _mesh_world()
+    # capsule along +x (local z rotated onto world x), radius 0.25,
+    # cylinder 4.0: end caps over the ridges; bottom at 1.25-0.25=1-delta
+    s = float(np.sin(np.pi / 4))
+    b.add_body(BodyType.CAPSULE, (0.0, 1.25 - delta, 0.0), (0.25, 4.0, 0.0),
+               quat=(s, 0.0, s, 0.0))
+    w = b.finish()
+
+    pts, nrm, dep, a = _contacts_for(w, mesh)
+    assert len(dep) > 0
+    assert np.any(pts[:, 0] < -1.0), f"no left contact: x={pts[:, 0]}"
+    assert np.any(pts[:, 0] > 1.0), f"no right contact: x={pts[:, 0]}"
