@@ -64,10 +64,16 @@ def main():
     states = contact_rich_states(cfg)
     print(f"{len(states)} contact-rich states")
 
-    cases = [("plain", 0.0, it) for it in (10, 15, 20, 30, 40)] + [
-        ("hb", b, it)
-        for b in (0.3, 0.45, 0.6)
-        for it in (8, 10, 12, 15, 20)
+    # (omega, beta, iters); round-3 bench setting = (1.3, 0.9, 8).
+    # CAUTION (round-3 lesson, docs/BENCHMARKS.md): this single-solve table
+    # is necessary but NOT sufficient — settings that win here can blow up
+    # in trajectory (omega 1.3 beta 0.95 @7: KE 1818 after 500 substeps).
+    # Gate any change on the multi-seed end-to-end stability run too.
+    cases = [(1.0, 0.0, it) for it in (10, 15, 20, 30, 40)] + [
+        (om, b, it)
+        for om in (1.0, 1.2, 1.3)
+        for b in (0.45, 0.9, 0.95)
+        for it in (7, 8, 10, 15)
     ]
 
     rows = {}
@@ -80,16 +86,18 @@ def main():
         ref = sol.solve_jacobi(s2, contacts, ref_cfg)
         ref_vel = (ref.linvel, ref.angvel)
 
-        for name, beta, iters in cases:
-            c2 = dataclasses.replace(cfg, jacobi_beta=beta,
+        for omega, beta, iters in cases:
+            c2 = dataclasses.replace(cfg, jacobi_omega=omega,
+                                     jacobi_beta=beta,
                                      solver_iterations=iters)
             err = solve_err(s2, contacts, c2, ref_vel)
-            rows.setdefault((name, beta, iters), []).append(err)
+            rows.setdefault((omega, beta, iters), []).append(err)
 
-    print(f"{'mode':>6} {'beta':>5} {'iters':>5}  {'max err':>10}  "
+    print(f"{'omega':>6} {'beta':>5} {'iters':>5}  {'max err':>10}  "
           f"{'mean err':>10}   (velocity vs 400-iteration solve)")
-    for (name, beta, iters), errs in rows.items():
-        print(f"{name:>6} {beta:5.2f} {iters:5d}  {max(errs):10.2e}  "
+    for (omega, beta, iters), errs in sorted(rows.items(),
+                                             key=lambda kv: max(kv[1])):
+        print(f"{omega:6.2f} {beta:5.2f} {iters:5d}  {max(errs):10.2e}  "
               f"{np.mean(errs):10.2e}")
 
 

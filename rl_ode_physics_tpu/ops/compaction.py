@@ -68,11 +68,14 @@ def compact_rows_t(mask: jnp.ndarray, payload_t: jnp.ndarray, k: int,
     dt = jnp.dtype(sel_dtype) if sel_dtype is not None else payload_t.dtype
     # materialized one-hot (optimization_barrier): fusing the rank-compare
     # producer into the matmul operand lowers the dot to a VPU loop fusion
-    # (measured 0.6 ms/substep @2048 vs ~0.1 ms with the barrier)
-    sel = jax.lax.optimization_barrier(
+    # (measured 0.6 ms/substep @2048 vs ~0.1 ms with the barrier).
+    # Stored int8 (the narrowest HBM form — the build fusion's write is the
+    # single largest substep cost); the convert to the matmul dtype fuses
+    # into the dot's operand read.
+    sel8 = jax.lax.optimization_barrier(
         ((rank[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :])
-         & mask[:, None]).astype(dt))                    # (M, k) one-hot
-    rows_t = jnp.matmul(payload_t.astype(dt), sel,
+         & mask[:, None]).astype(jnp.int8))              # (M, k) one-hot
+    rows_t = jnp.matmul(payload_t.astype(dt), sel8.astype(dt),
                         preferred_element_type=payload_t.dtype)
     valid = jnp.arange(k, dtype=jnp.int32) < total
     return (rows_t, valid, jnp.minimum(total, k),

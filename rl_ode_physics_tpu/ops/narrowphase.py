@@ -831,12 +831,17 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
     p_cap = max(caps)
     hit2d = hit_flat.reshape(n, n)
     tmin2d, tmax2d = tmin_f.reshape(n, n), tmax_f.reshape(n, n)
-    masks3 = jnp.stack([
-        hit2d & (tmin2d == t1) & (tmax2d == t2)
-        for (t1, t2), _ in kernels
-    ])                                                  # (G, N, N)
-    within3 = jnp.cumsum(masks3.astype(jnp.int32), axis=2)   # inclusive
-    rowcnt = within3[:, :, -1]                               # (G, N)
+    masks_l = [hit2d & (tmin2d == t1) & (tmax2d == t2)
+               for (t1, t2), _ in kernels]              # G × (N, N)
+    # PER-BUCKET within-row cumsums, directly in the selector dtype
+    # (values <= N <= 256 are exact in bf16). Layout history (round 3):
+    # the (G, N, N)-stacked cumsum fed to per-bucket dots copied the whole
+    # stack (~0.32 ms/substep @2048); per-bucket cumsums still copy their
+    # outputs but measure fastest end-to-end (37.6M vs 36.3M for a
+    # triangular-ones MXU matmul that avoids the copies — the matmul costs
+    # more than the copies it removes).
+    within_l = [jnp.cumsum(m.astype(sel_dt), axis=1) for m in masks_l]
+    rowcnt = jnp.stack([w[:, -1] for w in within_l]).astype(jnp.int32)
     rowoff = jnp.cumsum(rowcnt, axis=1) - rowcnt             # exclusive
     total3 = jnp.sum(rowcnt, axis=1)                         # (G,)
     caps_a = jnp.asarray(caps, jnp.int32)
@@ -867,23 +872,30 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
     # the isolated MXU form)
     sa3_dt = jax.lax.optimization_barrier(
         (ia3[..., None] == cols[None, None, :]).astype(sel_dt))
-    # features of the A body: (G, P, N)·(N, 11)
-    fa3 = jax.lax.dot_general(
-        sa3_dt, feats, (((2,), (0,)), ((), ())),
-        preferred_element_type=f)                            # (G, P, 11)
-    # gather each slot's within-row cumsum row: batched (P, N)·(N, N);
-    # cumsum values <= N <= 256 are exact even in bf16
-    w3 = jax.lax.dot_general(
-        sa3_dt, within3.astype(sel_dt), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=sel_dt)                       # (G, P, N)
-    # column of the (r+1)-th set bit: #positions with cumsum <= r
-    ib3 = jnp.sum((w3 <= r_resid3[..., None]).astype(jnp.int32), axis=-1)
+    # features of the A body, per bucket: (P, N)·(N, 11)
+    fa3 = jnp.stack([
+        jnp.matmul(sa3_dt[gi], feats, preferred_element_type=f)
+        for gi in range(g)
+    ])                                                       # (G, P, 11)
+    # gather each slot's within-row cumsum row, PER BUCKET (G unrolled):
+    # the (G, ·, ·)-batched form of this dot materialized a layout copy of
+    # its output (~0.32 ms/substep @2048, the largest narrowphase item);
+    # three 2-D (P, N)·(N, N) dots land in natural layouts. fa3/fb3 stay
+    # batched (their outputs showed no copies). Cumsum values <= N <= 256
+    # are exact even in bf16.
+    ib3 = jnp.stack([
+        jnp.sum((jnp.matmul(sa3_dt[gi], within_l[gi],
+                            preferred_element_type=sel_dt)
+                 <= r_resid3[gi, :, None]).astype(jnp.int32), axis=-1)
+        for gi in range(g)
+    ])                                                       # (G, P)
     ia3 = jnp.where(bvalid3, ia3, 0)
     ib3 = jnp.where(bvalid3, jnp.minimum(ib3, n - 1), 0)
     oh_b3 = (ib3[..., None] == cols[None, None, :]).astype(sel_dt)
-    fb3 = jax.lax.dot_general(
-        oh_b3, feats, (((2,), (0,)), ((), ())),
-        preferred_element_type=f)                            # (G, P, 11)
+    fb3 = jnp.stack([
+        jnp.matmul(oh_b3[gi], feats, preferred_element_type=f)
+        for gi in range(g)
+    ])                                                       # (G, P, 11)
 
     packed_parts, valid_parts = [], []
     total_pairs = jnp.sum(jnp.minimum(total3, jnp.asarray(caps, jnp.int32)))

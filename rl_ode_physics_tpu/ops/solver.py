@@ -499,10 +499,17 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
             [lin_sc * ax_h, angx, angy, angz,
              jnp.zeros_like(ax_h[:, 0:2])], axis=-1)             # (2C, 8)
 
-    k_op_n = _axis_contrib_op(n_ax)
+    # the iteration loop is VMEM-bandwidth-bound on these loop-invariant
+    # (2C, 8) planes (profile: the two fused iteration ops read ~50 KB/world
+    # /iteration ≈ the measured 42 ns/world/iter at ~1.3 TB/s); with
+    # solver_matmul_dtype="bfloat16" they are STORED bf16 — same rounding
+    # class as the default-matmul-precision MXU passes, half the traffic
+    plane_dt = mm_dtype if mm_dtype == jnp.bfloat16 else f
+
+    k_op_n = _axis_contrib_op(n_ax).astype(plane_dt)
     if config.friction:
-        k_op_1 = _axis_contrib_op(t1_ax)
-        k_op_2 = _axis_contrib_op(t2_ax)
+        k_op_1 = _axis_contrib_op(t1_ax).astype(plane_dt)
+        k_op_2 = _axis_contrib_op(t2_ax).astype(plane_dt)
 
     def _axis_j_op(axis_rows, rxa, rxb):
         """(C, 3) axis + arm crosses → (2C, 8) J-row weight planes so the
@@ -513,10 +520,10 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
         w_b = jnp.concatenate([axis_rows, rxb, z2], axis=-1)
         return jnp.concatenate([w_a, w_b], axis=0)               # (2C, 8)
 
-    j_op_n = _axis_j_op(n_ax, rxa_n, rxb_n)
+    j_op_n = _axis_j_op(n_ax, rxa_n, rxb_n).astype(plane_dt)
     if config.friction:
-        j_op_1 = _axis_j_op(t1_ax, rxa_1, rxb_1)
-        j_op_2 = _axis_j_op(t2_ax, rxa_2, rxb_2)
+        j_op_1 = _axis_j_op(t1_ax, rxa_1, rxb_1).astype(plane_dt)
+        j_op_2 = _axis_j_op(t2_ax, rxa_2, rxb_2).astype(plane_dt)
 
     def scatter_dl(dl_n, dl_1=None, dl_2=None):
         """Per-axis impulse magnitudes (C, 1) → (N, 8) Δvel via the
