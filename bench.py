@@ -145,6 +145,10 @@ def main():
         # measured per-bucket peaks across seeds {42,7,123,999} (ss 75,
         # sb 74, bb 30) with overflow counters zero through settling.
         typed_buckets=os.environ.get("BENCH_TYPED", "1") != "0",
+        # KEEP the flattened manifold width M = 96 + 96 + 48*4 = 384 a
+        # multiple of 128 lanes: bb cap 40 (M=352, peak+28% sizing) measured
+        # 3.5% SLOWER than 48 despite less work - lane padding of the
+        # (*, M) compaction arrays eats the savings
         bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
         pallas_compaction=os.environ.get("BENCH_PALLAS_COMPACT", "0") != "0",
     )

@@ -31,6 +31,10 @@ class SolverKind(enum.Enum):
     * ``PGS`` — sequential projected Gauss-Seidel (ODE QuickStep ordering):
       a ``lax.scan`` over contact rows. Matches ODE's convergence behavior
       most closely; per-world sequential, so best for conformance runs.
+      PERFORMANCE WARNING: the row scan does per-row dynamic-index
+      scatters inside the iteration loop — on TPU this is orders of
+      magnitude slower than JACOBI (a conformance oracle, not a
+      throughput path).
     * ``JACOBI`` — batched projected Jacobi with under-relaxation: every
       contact row updates in parallel from the previous iterate. The
       TPU-native throughput solver — one fused vector pass per iteration

@@ -396,7 +396,9 @@ def make_step_fn(config: EngineConfig, substeps: int = 1, donate: bool = True,
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
-@functools.lru_cache(maxsize=None)
+# bounded: a config sweep (e.g. the bench's env-override space) would
+# otherwise retain every compiled step for the process lifetime
+@functools.lru_cache(maxsize=64)
 def _make_step_fn_cached(config: EngineConfig, substeps: int, donate: bool):
     def fn(state: WorldState) -> WorldState:
         if substeps == 1:

@@ -41,7 +41,7 @@ def batched_step(batch: WorldState, config: EngineConfig) -> WorldState:
     return jax.vmap(lambda s: step(s, config))(batch)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)   # bounded — see core/world.py note
 def make_batched_step_fn(config: EngineConfig, substeps: int = 1,
                          donate: bool = True, chunk: int = 0,
                          unroll: int = 1):

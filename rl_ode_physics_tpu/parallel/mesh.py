@@ -84,7 +84,10 @@ def make_shard_map_step_fn(config: EngineConfig, mesh: Mesh,
                            axis_name: str = WORLD_AXIS):
     """Explicit-SPMD path: each device steps its own world shard; no
     collectives appear anywhere in the program (verifiable via HLO)."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map            # jax >= 0.8
+    except ImportError:                      # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     def local_steps(batch: WorldState) -> WorldState:
         if substeps == 1:
@@ -95,9 +98,17 @@ def make_shard_map_step_fn(config: EngineConfig, mesh: Mesh,
         return batch
 
     spec = P(axis_name)
-    sharded = shard_map(
-        local_steps, mesh=mesh,
-        in_specs=(spec,), out_specs=spec,
-        check_rep=False,
-    )
+    try:
+        # jax >= 0.8: jax.shard_map (replication checking is check_vma)
+        sharded = shard_map(
+            local_steps, mesh=mesh,
+            in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )
+    except TypeError:                        # pragma: no cover
+        sharded = shard_map(
+            local_steps, mesh=mesh,
+            in_specs=(spec,), out_specs=spec,
+            check_rep=False,
+        )
     return jax.jit(sharded)

@@ -1,0 +1,24 @@
+"""End-to-end RL training on the engine (examples/rl_training.py): the
+antithetic-ES trainer must IMPROVE the push-to-target reward within a few
+iterations — a fully jitted perturb→rollout-population→update loop, i.e.
+the repo's namesake capability exercised end to end."""
+
+import jax
+import numpy as np
+
+from examples.rl_training import make_trainer
+
+
+def test_es_training_improves_reward():
+    params, train_step = make_trainer(pop=12, horizon=25)
+    key = jax.random.PRNGKey(0)
+    rewards = []
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        params, mean_r = train_step(params, sub)
+        rewards.append(float(mean_r))
+    # measured: -3.25 -> -2.91 within ~4 iterations (the plateau is the
+    # physics-limited optimum for this horizon); require a robust margin
+    assert rewards[-1] > rewards[0] + 0.15, rewards
+    # and the learned policy actually moved the actor toward the target
+    assert rewards[-1] > -3.3, rewards
