@@ -58,8 +58,16 @@ def scene(config: EngineConfig, seed: int):
 
 
 def make_trainer(pop: int = 16, horizon: int = 25, sigma: float = 0.1,
-                 lr: float = 0.3, substeps: int = 2):
-    """Returns (init_params, train_step(params, key) -> (params, mean_r))."""
+                 lr: float = 0.3, substeps: int = 2, mesh=None):
+    """Returns (init_params, train_step(params, key) -> (params, mean_r)).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the 2·pop evaluation worlds
+    (the population) shard across it (parallel/mesh.py batch sharding), so
+    the whole ES iteration runs SPMD over the chips: rollouts are local,
+    the only collectives are the reward mean/std and the gradient-estimate
+    reductions that GSPMD inserts. Multi-chip training of the namesake
+    workload (validated on the virtual 8-device mesh,
+    tests/test_sharded_training.py)."""
     config = EngineConfig(max_bodies=8, max_pair_candidates=32,
                           max_contacts=32, enable_capsules=False,
                           solver_iterations=8, jacobi_omega=1.3,
@@ -68,6 +76,9 @@ def make_trainer(pop: int = 16, horizon: int = 25, sigma: float = 0.1,
     env = PhysicsEnv(config, scene, actor_slots=[ACTOR],
                      num_worlds=n_worlds, substeps=substeps)
     state0, _ = env.reset(seed=0)
+    if mesh is not None:
+        from rl_ode_physics_tpu.parallel.mesh import batch_sharding
+        state0 = jax.device_put(state0, batch_sharding(mesh))
 
     def policy_action(params, obs_world):
         """obs (N, 13) of one world → (1, 6) actor force/torque action."""

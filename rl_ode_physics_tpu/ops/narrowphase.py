@@ -924,6 +924,8 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
         # would silently round above 2^24 / 2^8)
         mk = cp_b * k_b
         slot_k = jnp.tile(jnp.arange(k_b, dtype=jnp.int32), cp_b)
+        # (a per-component slice+stack variant of this transpose measured
+        # 1% SLOWER end-to-end — the .T form stays)
         packed_parts.append(jnp.concatenate([
             points.reshape(mk, 3).T,
             normals.reshape(mk, 3).T,
