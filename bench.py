@@ -122,12 +122,17 @@ def main():
         friction=os.environ.get("BENCH_FRICTION", "1") != "0",
         max_bodies=num_bodies,
         max_pair_candidates=4 * num_bodies,
-        # 2*num_bodies = 128 rows: measured peak is 93 live contacts across
-        # seeds {42, 7, 123, 999} with overflow counters zero through the
-        # settling burst (27% headroom); every per-contact matmul/fusion/
-        # compaction cost scales with this capacity. Overflow is LOUD now:
-        # WorldState.overflow accumulates dropped rows on the default path.
-        max_contacts=2 * num_bodies,
+        # capacity sized to the MEASURED contact peak of THIS solver
+        # setting with >40% headroom (benchmarks/capacity_audit.py): hb-8
+        # settles stacks tighter than plain-20, so its live-contact peak
+        # is 49-56 across seeds {42,7,123,999} x 500 substeps (vs 87-89
+        # for plain-20 — the parity config below keeps 2N=128 for the same
+        # reason, 44% headroom). Every per-contact matmul/fusion/
+        # compaction cost scales with this capacity; overflow is LOUD
+        # (WorldState.overflow accumulates dropped rows, audit asserts 0).
+        max_contacts=int(os.environ.get("BENCH_CONTACTS",
+                                        80 if num_bodies == 64
+                                        else 2 * num_bodies)),
         # K=4 with deterministic fold-merge manifolds (no per-pair top-k)
         # halves the contact-compaction sort width; stacking verified stable
         max_contacts_per_pair=4,
@@ -181,7 +186,10 @@ def main():
     if (os.environ.get("BENCH_PARITY", "1") != "0"
             and solver is SolverKind.JACOBI):
         parity_cfg = config.replace(solver_iterations=20, jacobi_omega=1.0,
-                                    jacobi_beta=0.0)
+                                    jacobi_beta=0.0,
+                                    # plain-20 peaks at 87-89 live contacts
+                                    # (44% headroom at 128; 80 would drop)
+                                    max_contacts=2 * num_bodies)
         p_value, p_dt, _ = _measure(parity_cfg, num_worlds, num_bodies,
                                     substeps, launches, chunk, unroll)
         p = _result(parity_cfg, p_value, p_dt, num_worlds, num_bodies,

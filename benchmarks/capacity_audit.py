@@ -1,0 +1,69 @@
+"""Capacity-honesty audit: measured live-contact peaks vs the bench caps.
+
+The bench's buffer capacities are HONESTY-SENSITIVE knobs: every
+per-contact cost scales with them, so they must be sized to measured
+peaks with documented headroom, never tuned below what the workload can
+produce (overflow silently drops contacts — the loud counters exist, but
+the driver bench must never rely on them firing).
+
+    python benchmarks/capacity_audit.py
+
+Runs the exact bench scene at BOTH solver settings the bench reports
+(tuned hb-8 headline and the plain-20 ODE-parity line) across 4 seeds x
+500 substeps, printing per-seed live-contact peaks and cumulative
+overflow. Round-3 measurements (the numbers behind bench.py's capacity
+comments):
+
+    plain-20: peak contacts 87-89  -> parity config max_contacts = 128
+    hb-8    : peak contacts 49-56  -> headline     max_contacts = 80
+
+(both >40% headroom; overflow 0 everywhere). The hb settings settle
+stacks tighter, so fewer pairs stay in contact at steady state.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from rl_ode_physics_tpu.core.config import EngineConfig, SolverKind
+from rl_ode_physics_tpu.core.world import step_with_diagnostics
+from rl_ode_physics_tpu.models import scenes
+
+
+def main(steps: int = 500, seeds=(42, 7, 123, 999)):
+    for label, iters, om, beta, cap in (
+            ("parity plain-20", 20, 1.0, 0.0, 128),
+            ("headline hb-8", 8, 1.3, 0.9, 80)):
+        cfg = EngineConfig(
+            solver=SolverKind.JACOBI, solver_iterations=iters,
+            jacobi_omega=om, jacobi_beta=beta, max_bodies=64,
+            max_pair_candidates=256, max_contacts=cap,
+            max_contacts_per_pair=4, enable_capsules=False,
+            enable_planes=False, selector_dtype="bfloat16",
+            typed_buckets=True,
+            bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)))
+        stepf = jax.jit(lambda s, _cfg=cfg: step_with_diagnostics(s, _cfg))
+        for seed in seeds:
+            w = scenes.bench_world(cfg, num_bodies=60, seed=seed)
+            peak_c = peak_p = 0
+            for _ in range(steps):
+                w, m = stepf(w)
+                peak_c = max(peak_c, int(m["num_contacts"]))
+                peak_p = max(peak_p, int(m["num_pairs"]))
+            ovf = int(np.asarray(w.overflow))
+            flag = "" if ovf == 0 else "  *** OVERFLOW ***"
+            print(f"{label}: seed {seed}: peak contacts {peak_c}/{cap}, "
+                  f"peak pairs {peak_p}, overflow {ovf}{flag}")
+            assert ovf == 0, f"{label} seed {seed} dropped contacts"
+
+
+if __name__ == "__main__":
+    main()
