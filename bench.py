@@ -145,15 +145,20 @@ def main():
         # f32 at TPU default matmul precision (the MXU rounds f32 operands
         # to bf16 per pass anyway) at half the one-hot HBM bytes
         selector_dtype=os.environ.get("BENCH_SEL_DTYPE", "bfloat16"),
-        # typed-bucket narrowphase: each pair type runs ONLY its kernel at
-        # its intrinsic manifold size. Caps carry >=28% headroom over the
-        # measured per-bucket peaks across seeds {42,7,123,999} (ss 75,
-        # sb 74, bb 30) with overflow counters zero through settling.
+        # typed-bucket narrowphase: each pair type runs ONLY its kernel
+        # at its intrinsic manifold size. Measured per-bucket pair peaks
+        # at the shipped hb-8 setting (8 seeds x 500 substeps,
+        # benchmarks/capacity_audit.py): ss 75/96, sb 89/96, bb 34/48 —
+        # sb headroom is 8% (hb-8 settles into more sphere-box pairs than
+        # plain-20's 72), verified ZERO overflow on every audited seed;
+        # the loud overflow counter guards production. A rebalanced
+        # (96, 112, 44) layout with uniform 26% headroom measured 6%
+        # SLOWER at the same M=384, so the thin-but-audited margin ships.
         typed_buckets=os.environ.get("BENCH_TYPED", "1") != "0",
         # KEEP the flattened manifold width M = 96 + 96 + 48*4 = 384 a
-        # multiple of 128 lanes: bb cap 40 (M=352, peak+28% sizing) measured
-        # 3.5% SLOWER than 48 despite less work - lane padding of the
-        # (*, M) compaction arrays eats the savings
+        # multiple of 128 lanes: a misaligned M (352) measured 3.5% SLOWER
+        # despite less work - lane padding of the (*, M) compaction arrays
+        # eats the savings
         bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
         pallas_compaction=os.environ.get("BENCH_PALLAS_COMPACT", "0") != "0",
     )

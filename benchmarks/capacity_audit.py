@@ -10,15 +10,23 @@ the driver bench must never rely on them firing).
 
 Runs the exact bench scene at BOTH solver settings the bench reports
 (tuned hb-8 headline and the plain-20 ODE-parity line) across 4 seeds x
-500 substeps, printing per-seed live-contact peaks and cumulative
-overflow. Round-3 measurements (the numbers behind bench.py's capacity
-comments):
+500 substeps, printing per-seed live-contact peaks, PER-BUCKET candidate
+pair peaks, and cumulative overflow. Round-3 measurements (the numbers
+behind bench.py's capacity comments):
 
-    plain-20: peak contacts 87-89  -> parity config max_contacts = 128
-    hb-8    : peak contacts 49-56  -> headline     max_contacts = 80
+    plain-20: peak contacts 87-89, bucket pairs ss 75 / sb 72 / bb 31
+              -> parity config max_contacts = 128
+    hb-8    : peak contacts 49-56, bucket pairs ss 75 / sb 89 / bb 34
+              -> headline max_contacts = 80,
+                 bucket_caps ss 96 / sb 96 / bb 48 (M = 384 = 3x128)
 
-(both >40% headroom; overflow 0 everywhere). The hb settings settle
-stacks tighter, so fewer pairs stay in contact at steady state.
+(overflow 0 on every audited seed). The hb settings settle stacks
+tighter (fewer live contacts) but into MORE sphere-box candidate pairs
+than plain-20, leaving the sb cap only 8% of headroom — a rebalanced
+(96, 112, 44) layout with uniform 26% headroom measured 6% slower at the
+same M, so the thin-but-audited margin ships, guarded by the loud
+overflow counter. Re-run this audit whenever the shipped solver setting
+or the scene changes.
 """
 
 from __future__ import annotations
@@ -38,7 +46,20 @@ from rl_ode_physics_tpu.core.world import step_with_diagnostics
 from rl_ode_physics_tpu.models import scenes
 
 
-def main(steps: int = 500, seeds=(42, 7, 123, 999)):
+def _bucket_counts(state):
+    """Per-type eligible-pair counts (ss, sb, bb) for one state."""
+    import jax.numpy as jnp
+    from rl_ode_physics_tpu.ops.narrowphase import _pair_eligibility
+    hit, tmin, tmax = _pair_eligibility(state)
+    return jnp.stack([jnp.sum(hit & (tmin == t1) & (tmax == t2))
+                      for (t1, t2) in ((1, 1), (1, 2), (2, 2))])
+
+
+def main(steps: int = 500,
+         seeds=(42, 7, 123, 999, 5, 17, 314, 2718)):
+    import jax.numpy as jnp  # noqa: F401 (jit below)
+
+    bcounts = jax.jit(_bucket_counts)
     for label, iters, om, beta, cap in (
             ("parity plain-20", 20, 1.0, 0.0, 128),
             ("headline hb-8", 8, 1.3, 0.9, 80)):
@@ -53,15 +74,17 @@ def main(steps: int = 500, seeds=(42, 7, 123, 999)):
         stepf = jax.jit(lambda s, _cfg=cfg: step_with_diagnostics(s, _cfg))
         for seed in seeds:
             w = scenes.bench_world(cfg, num_bodies=60, seed=seed)
-            peak_c = peak_p = 0
+            peak_c = 0
+            peak_b = np.zeros(3, np.int64)
             for _ in range(steps):
                 w, m = stepf(w)
                 peak_c = max(peak_c, int(m["num_contacts"]))
-                peak_p = max(peak_p, int(m["num_pairs"]))
+                peak_b = np.maximum(peak_b, np.asarray(bcounts(w)))
             ovf = int(np.asarray(w.overflow))
             flag = "" if ovf == 0 else "  *** OVERFLOW ***"
             print(f"{label}: seed {seed}: peak contacts {peak_c}/{cap}, "
-                  f"peak pairs {peak_p}, overflow {ovf}{flag}")
+                  f"bucket pair peaks ss={peak_b[0]}/96 sb={peak_b[1]}/96 "
+                  f"bb={peak_b[2]}/48, overflow {ovf}{flag}")
             assert ovf == 0, f"{label} seed {seed} dropped contacts"
 
 
