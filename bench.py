@@ -62,6 +62,17 @@ def _measure(config, num_worlds, num_bodies, substeps, launches, chunk,
     # honesty: count only DYNAMIC bodies (the 4 static arena geoms are not
     # integrated/solved as bodies — 60 of the 64 slots are dynamic)
     num_dynamic = int(np.asarray((world.inv_mass > 0).sum()))
+    # capacity honesty: max_contacts/bucket_caps are sized to measured
+    # peaks — a config override (e.g. BENCH_ITERS without BENCH_CONTACTS)
+    # that overflows them would silently benchmark a physically wrong
+    # workload. WorldState.overflow accumulates every dropped row; fail.
+    total_overflow = int(np.asarray(batch.overflow).sum())
+    if total_overflow:
+        raise RuntimeError(
+            f"contact capacity overflow during the bench: {total_overflow} "
+            f"dropped rows across {num_worlds} worlds — max_contacts/"
+            f"bucket_caps are under-sized for this solver setting; re-run "
+            f"benchmarks/capacity_audit.py and raise BENCH_CONTACTS")
     return num_worlds * num_dynamic * total_steps / dt, dt, num_dynamic
 
 

@@ -204,6 +204,12 @@ class EngineConfig:
             errors.append(
                 "dense_pipeline and typed_buckets are mutually exclusive "
                 "narrowphase strategies.")
+        if self.mesh_probes not in (1, 3):
+            errors.append(
+                f"mesh_probes={self.mesh_probes} is not supported: the "
+                f"trimesh phase-1 probe stack is 1 (body center) or 3 "
+                f"(center + the two long-axis extremities) — see "
+                f"ops/trimesh.py mesh_narrowphase.")
         if errors:
             raise ValueError(
                 "unsupported EngineConfig composition:\n- "

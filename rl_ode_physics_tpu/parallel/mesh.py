@@ -61,6 +61,7 @@ def make_sharded_step_fn(config: EngineConfig, mesh: Mesh,
                          substeps: int = 1, donate: bool = True,
                          axis_name: str = WORLD_AXIS):
     """GSPMD path: jit with sharded in/out specs over the mesh."""
+    config.validate()      # unsupported compositions error at config time
     sharding = batch_sharding(mesh, axis_name)
 
     def fn(batch: WorldState) -> WorldState:
@@ -84,6 +85,7 @@ def make_shard_map_step_fn(config: EngineConfig, mesh: Mesh,
                            axis_name: str = WORLD_AXIS):
     """Explicit-SPMD path: each device steps its own world shard; no
     collectives appear anywhere in the program (verifiable via HLO)."""
+    config.validate()      # unsupported compositions error at config time
     try:
         from jax import shard_map            # jax >= 0.8
     except ImportError:                      # pragma: no cover
