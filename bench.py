@@ -112,7 +112,11 @@ def main():
     if num_worlds <= chunk or num_worlds % chunk:
         chunk = 0
 
-    config = EngineConfig(
+    # base: the SHIPPED throughput policy (EngineConfig.throughput — the
+    # single source of truth for solver/numerics; the conformance suite
+    # measures trajectory error of THIS setting) + bench capacities and
+    # env overrides
+    config = EngineConfig.throughput(
         solver=solver,
         # heavy-ball-accelerated Jacobi at 8 sweeps (omega=1.3, beta=0.9):
         # measured strictly MORE converged than plain Jacobi at ODE's

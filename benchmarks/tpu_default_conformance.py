@@ -9,10 +9,14 @@ ships had no trajectory-level error number. This script produces it:
     python benchmarks/tpu_default_conformance.py [steps]
 
 Scene: the shared mini_stack conformance scene (models/scenes.py — box
-tower + spheres + dynamic/kinematic capsules). Engine: f32, JACOBI
-(mass-split heavy-ball omega=1.2 beta=0.9, 10 iters), typed buckets, K=4,
-default matmul precision — the bench.py settings. Referee: f64 NumPy
-QuickStep (testing/referee.py). Numbers quoted in docs/CONFORMANCE.md.
+tower + spheres + dynamic/kinematic capsules). Engine: EngineConfig.
+throughput() — THE shipped setting, by construction (f32, heavy-ball
+Jacobi omega=1.3 beta=0.9 at 8 sweeps, typed buckets, K=4); pass a
+precision argument to re-measure at exact f32 matmuls. Referee: f64
+NumPy QuickStep (testing/referee.py). Numbers quoted in
+docs/CONFORMANCE.md. This script INTENTIONALLY measures the default
+(bf16-rounding) precision — fidelity-minded runs should build configs
+with EngineConfig.conformance() instead.
 """
 
 from __future__ import annotations
@@ -26,19 +30,20 @@ def main(steps: int = 1000, precision: str = "default"):
     import jax
     import numpy as np
 
-    from rl_ode_physics_tpu.core.config import EngineConfig, SolverKind
+    from rl_ode_physics_tpu.core.config import EngineConfig
     from rl_ode_physics_tpu.core.world import make_step_fn
     from rl_ode_physics_tpu.models import scenes
     from rl_ode_physics_tpu.testing.referee import (
         RefereeConfig, referee_step, state_to_numpy)
 
-    cfg = EngineConfig(max_bodies=16, max_pair_candidates=128,
-                       max_contacts=256)
-    tcfg = cfg.replace(
-        solver=SolverKind.JACOBI, solver_iterations=10,
-        jacobi_omega=1.2, jacobi_beta=0.9,
-        typed_buckets=True, max_contacts_per_pair=4,
-        matmul_precision=precision,
+    overrides = {}
+    if precision != "default":
+        # measuring the exact-f32 variant: bf16 selectors would silently
+        # reintroduce the very rounding the precision override removes
+        overrides["selector_dtype"] = "float32"
+    tcfg = EngineConfig.throughput(
+        max_bodies=16, max_pair_candidates=128, max_contacts=256,
+        matmul_precision=precision, **overrides,
     )
     w = scenes.mini_stack_world(tcfg)
     init = {k: np.asarray(v, np.float64) if v.dtype.kind == "f" else v
@@ -88,7 +93,9 @@ def main(steps: int = 1000, precision: str = "default"):
           f"first >1cm divergence at step {div_step}; "
           f"sorted-final-heights err = {np.abs(hs_e - hs_r).max():.3e}; "
           f"engine end-state motion over last 50 steps = {late_v:.3e} "
-          f"(f32 JACOBI hb-10 typed K=4 vs f64 PGS-20 referee)")
+          f"(f32 JACOBI hb-{tcfg.solver_iterations} "
+          f"omega={tcfg.jacobi_omega} beta={tcfg.jacobi_beta} typed K=4 vs "
+          f"f64 PGS-20 referee)")
 
 
 if __name__ == "__main__":

@@ -165,6 +165,93 @@ class EngineConfig:
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
 
+    # --- precision-policy profiles (docs/CONFORMANCE.md §2) ---------------
+    # The documented policy has two modes; these constructors ARE the policy
+    # (bench.py, __graft_entry__.py, the conformance tools and tests all
+    # build from them, so "the shipped setting" has one definition):
+    #
+    # * RL/throughput mode (`EngineConfig.throughput()`): statistical
+    #   trajectory realism at maximum speed — bf16 MXU passes, heavy-ball
+    #   Jacobi at its measured convergence-parity budget, typed buckets,
+    #   K=4 fold-merge manifolds.
+    # * trajectory-fidelity mode (`EngineConfig.conformance()`): per-
+    #   trajectory agreement with the f64 QuickStep referee — exact f32
+    #   matmuls, PGS in ODE row order, exact Sutherland-Hodgman box
+    #   clipping, K=8.
+    #
+    # One wrong default (running a fidelity-minded experiment at the TPU
+    # default matmul precision) silently costs ~20x trajectory error
+    # (docs/CONFORMANCE.md: 0.74 vs 3.6e-2 max rel err over 1k steps).
+
+    @classmethod
+    def throughput(cls, **overrides) -> "EngineConfig":
+        """The SHIPPED throughput configuration (RL mode).
+
+        Solver: heavy-ball Jacobi, 8 sweeps, omega=1.3, beta=0.9 — measured
+        >= plain-Jacobi-at-20 convergence AND multi-seed trajectory-stable
+        (benchmarks/solver_convergence.py, docs/BENCHMARKS.md; both gates
+        required). Narrowphase: typed buckets, K=4 fold-merge manifolds.
+        Numerics: TPU-default matmul precision (bf16 MXU passes), bf16
+        one-hot selectors when ``max_bodies <= 256`` (numerically identical
+        to f32 selectors at default precision — the MXU rounds f32 operands
+        to bf16 per pass anyway; above 256 slots body ids stop being
+        bf16-exact, so f32 selectors are chosen automatically).
+
+        Capacities (max_bodies/max_contacts/bucket_caps) are scene-
+        dependent and NOT part of the policy — size them to measured peaks
+        (benchmarks/capacity_audit.py) and pass as overrides.
+        """
+        policy = dict(
+            solver=SolverKind.JACOBI,
+            solver_iterations=8,
+            jacobi_omega=1.3,
+            jacobi_beta=0.9,
+            typed_buckets=True,
+            max_contacts_per_pair=4,
+            matmul_precision="default",
+        )
+        policy.update(overrides)
+        if "selector_dtype" not in overrides:
+            n = policy.get("max_bodies", cls.max_bodies)
+            policy["selector_dtype"] = ("bfloat16" if n <= 256
+                                        else "float32")
+        return cls(**policy).validate()
+
+    @classmethod
+    def conformance(cls, **overrides) -> "EngineConfig":
+        """Trajectory-fidelity configuration (referee-comparable).
+
+        PGS in ODE QuickStep row order at ODE's default budget (20
+        iterations, SOR 1.3), classic (non-bucketed) narrowphase so contact
+        rows keep global pair order, exact Sutherland-Hodgman box-box
+        clipping, K=8 manifolds, exact-f32 matmuls everywhere. For the full
+        f64 referee bar, additionally pass ``dtype="float64"`` in a
+        process with ``jax_enable_x64`` (see tests/_traj_engine.py).
+        """
+        policy = dict(
+            solver=SolverKind.PGS,
+            solver_iterations=20,
+            sor_omega=1.3,
+            typed_buckets=False,
+            exact_box_clip=True,
+            max_contacts_per_pair=8,
+            selector_dtype="float32",
+            solver_matmul_dtype="float32",
+            matmul_precision="float32",
+        )
+        policy.update(overrides)
+        return cls(**policy).validate()
+
+    @property
+    def is_fidelity_grade(self) -> bool:
+        """True when matmuls are exact (no bf16 MXU rounding anywhere) —
+        the precondition for quoting trajectory-fidelity numbers.
+        Conformance-grade tools assert this unless they are intentionally
+        measuring the default-precision (RL-mode) error."""
+        return (self.matmul_precision in ("float32", "highest")
+                and not jnp_dtype_is_bf16(self.selector_dtype)
+                and not jnp_dtype_is_bf16(self.solver_matmul_dtype))
+
     def validate(self) -> "EngineConfig":
         """Reject unsupported feature compositions at CONFIG time.
 

@@ -59,6 +59,12 @@ def main():
     scene, out_path, steps = sys.argv[1], sys.argv[2], int(sys.argv[3])
     solver = sys.argv[4] if len(sys.argv) > 4 else "pgs"
     cfg = make_cfg(solver)
+    # loud precision guard: referee-grade trajectories must never silently
+    # run with bf16 matmul rounding (EngineConfig.is_fidelity_grade)
+    assert cfg.is_fidelity_grade, (
+        "conformance trajectory run at a non-fidelity precision — build "
+        "the config with EngineConfig.conformance() or set "
+        "matmul_precision='float32'/'highest' and f32 selectors")
     w = build(scene, cfg)
     init = state_to_numpy(w)
     assert init["pos"].dtype == np.float64

@@ -90,3 +90,59 @@ def test_finite_mu_iterative_solvers_step(solver):
         w = stepf(w)
     v1 = float(w.linvel[slot, 0])
     assert 0.0 < v1 < v0 - 0.3, (v0, v1)  # decelerating, not stopped
+
+
+# --- precision-policy profile constructors (docs/CONFORMANCE.md §2) -------
+
+def test_throughput_profile_is_the_shipped_setting():
+    """EngineConfig.throughput() IS the bench/production policy: heavy-ball
+    Jacobi at its gated 8-sweep budget, typed buckets, K=4, TPU-default
+    matmul precision. The conformance suite measures THIS config's
+    trajectory error, so the constructor pins the two together."""
+    t = EngineConfig.throughput(max_bodies=64)
+    assert t.solver is SolverKind.JACOBI
+    assert (t.solver_iterations, t.jacobi_omega, t.jacobi_beta) == (8, 1.3, 0.9)
+    assert t.typed_buckets and t.max_contacts_per_pair == 4
+    assert t.matmul_precision == "default"
+    # bf16 selectors auto-picked when slot ids are bf16-exact...
+    assert t.selector_dtype == "bfloat16"
+    # ...and f32 above 256 slots (otherwise validate() would reject)
+    assert EngineConfig.throughput(max_bodies=512).selector_dtype == "float32"
+    # explicit override wins
+    assert EngineConfig.throughput(
+        max_bodies=64, selector_dtype="float32").selector_dtype == "float32"
+    assert not t.is_fidelity_grade
+
+
+def test_conformance_profile_is_fidelity_grade():
+    c = EngineConfig.conformance()
+    assert c.solver is SolverKind.PGS
+    assert c.solver_iterations == 20 and c.sor_omega == 1.3
+    assert c.exact_box_clip and not c.typed_buckets
+    assert c.max_contacts_per_pair == 8
+    assert c.is_fidelity_grade
+    # the throughput default precision is NOT fidelity grade — the property
+    # is what conformance tools assert on (tests/_traj_engine.py)
+    assert not EngineConfig.throughput(max_bodies=64).is_fidelity_grade
+    # profiles validate at construction: impossible compositions raise
+    import pytest
+    with pytest.raises(ValueError):
+        EngineConfig.conformance(solver=SolverKind.DANTZIG, mu=1.0)
+
+
+def test_profiles_step(tiny_world_factory=None):
+    """Both profiles actually step a world (no mid-trace surprises)."""
+    import jax.numpy as jnp
+    from rl_ode_physics_tpu.models import scenes
+    from rl_ode_physics_tpu.core.world import make_step_fn
+    for cfg in (EngineConfig.throughput(max_bodies=16,
+                                        max_pair_candidates=64,
+                                        max_contacts=64),
+                EngineConfig.conformance(max_bodies=16,
+                                         max_pair_candidates=64,
+                                         max_contacts=64,
+                                         solver_iterations=5)):
+        w = scenes.sphere_drop_world(cfg, height=2.0)
+        stepf = make_step_fn(cfg, substeps=2, donate=False)
+        w = stepf(w)
+        assert bool(jnp.all(jnp.isfinite(w.pos)))

@@ -143,29 +143,38 @@ def test_randomized_row_order_bound():
 def test_throughput_config_trajectory():
     """Measure the SHIPPED throughput configuration against the f64 referee.
 
-    The bench/production path is f32, JACOBI (mass-split heavy-ball,
-    omega=1.2 beta=0.9, 10 iterations), typed-bucket narrowphase, K=4
-    fold-merge manifolds, default matmul precision — every one of which is
-    a documented deviation from the conformance-grade CPU-f64-PGS-exact
-    path the 1e-5 bar is measured on (docs/CONFORMANCE.md). This test
-    quantifies the trajectory-level error of that shipped path over 1k
-    steps (VERDICT round-2 item 2a: previously only the conformance path
-    had a trajectory number) and asserts the behavior-level contract:
-    bounded divergence, matching resting heights at steady state.
+    The shipped path is built from ``EngineConfig.throughput()`` — the
+    single source of truth for the production solver/numerics setting
+    (currently f32, heavy-ball Jacobi omega=1.3 beta=0.9 at 8 sweeps,
+    typed-bucket narrowphase, K=4 fold-merge manifolds, default matmul
+    precision) — every one of which is a documented deviation from the
+    conformance-grade CPU-f64-PGS-exact path the 1e-5 bar is measured on
+    (docs/CONFORMANCE.md). This test quantifies the trajectory-level error
+    of that shipped path over 1k steps and asserts the behavior-level
+    contract: bounded divergence, matching resting heights at steady
+    state. Because the config comes from the constructor, this measurement
+    can never silently drift from what bench.py ships (round-3 advisor
+    finding: the hb-10 numbers once quoted here were measured at a setting
+    nothing shipped).
 
     (On TPU hardware the default matmul precision additionally rounds
     matmul operands to bf16; benchmarks/tpu_default_conformance.py runs
     this same comparison on the real chip — numbers in CONFORMANCE.md.)
     """
     import jax
-    from rl_ode_physics_tpu.core.config import SolverKind
+    from rl_ode_physics_tpu.core.config import EngineConfig
     from rl_ode_physics_tpu.core.world import make_step_fn
 
     cfg, w, init = _mini_stack_init()
-    tcfg = cfg.replace(
-        solver=SolverKind.JACOBI, solver_iterations=10,
-        jacobi_omega=1.2, jacobi_beta=0.9,
-        typed_buckets=True, max_contacts_per_pair=4,
+    tcfg = EngineConfig.throughput(
+        max_bodies=cfg.max_bodies,
+        max_pair_candidates=cfg.max_pair_candidates,
+        max_contacts=cfg.max_contacts,
+        # CPU referee comparison: bf16 selectors would add a second,
+        # hardware-dependent deviation; the shipped TPU default matmul
+        # precision already rounds the same operands on-chip
+        # (benchmarks/tpu_default_conformance.py measures that)
+        selector_dtype="float32",
     )
     steps = 1000
     stepf = make_step_fn(tcfg, substeps=1, donate=False)
@@ -181,7 +190,9 @@ def test_throughput_config_trajectory():
     late = np.abs(pos_e[-100:, active, 1] - pos_r[-100:, active, 1]).max()
     print(f"[conformance:throughput-config] max rel pos err = {err:.3e}, "
           f"late resting-height err = {late:.3e} over {steps} steps "
-          f"(f32 JACOBI hb-10 typed K=4 vs f64 PGS-20 referee)")
+          f"(f32 JACOBI hb-{tcfg.solver_iterations} "
+          f"omega={tcfg.jacobi_omega} beta={tcfg.jacobi_beta} typed K=4 "
+          f"vs f64 PGS-20 referee)")
     # different solver family + f32: trajectory-level agreement is loose
     # (quoted in docs/CONFORMANCE.md), but the physics contract holds
     assert err <= 0.2, f"throughput-config divergence {err:.3e}"
