@@ -16,7 +16,8 @@ cross-engine comparisons never depend on the hb-10 convergence argument
 
 Env overrides: BENCH_WORLDS, BENCH_BODIES, BENCH_STEPS, BENCH_SUBSTEPS,
 BENCH_CHUNK, BENCH_SOLVER, BENCH_ITERS, BENCH_OMEGA, BENCH_BETA,
-BENCH_MM_DTYPE, BENCH_SEL_DTYPE, BENCH_TYPED, BENCH_UNROLL, BENCH_PARITY.
+BENCH_MM_DTYPE, BENCH_SEL_DTYPE, BENCH_TYPED, BENCH_UNROLL, BENCH_PARITY,
+BENCH_CM.
 """
 
 from __future__ import annotations
@@ -176,6 +177,9 @@ def main():
         # eats the savings
         bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
         pallas_compaction=os.environ.get("BENCH_PALLAS_COMPACT", "0") != "0",
+        # round-4 component-major narrowphase (pairs-in-lanes); BENCH_CM=0
+        # re-measures the row-major layout (the A/B lever)
+        cm_narrowphase=os.environ.get("BENCH_CM", "1") != "0",
     )
 
     value, dt, num_dynamic = _measure(

@@ -124,6 +124,15 @@ class EngineConfig:
     # triangles under BOTH ends; 1 = center-only (round-2 behavior,
     # cheaper — the phase-1 tile sweep cost scales with probe count).
     mesh_probes: int = 3
+    # component-major typed-bucket narrowphase (ops/narrowphase_cm.py):
+    # the same pipeline with pairs-in-lanes layout end to end — the
+    # round-4 fix for the lane-padding machinery tax (67% of the substep,
+    # docs/BENCHMARKS.md). Applies only when typed_buckets is on and every
+    # enabled bucket has a CM kernel at its manifold size
+    # (narrowphase_cm.supports_cm); otherwise the row-major path runs.
+    # Same math, f32-roundoff-identical results, slot-major row order
+    # within buckets. Off = always row-major (A/B lever).
+    cm_narrowphase: bool = True
     # contact-payload compaction via the VMEM one-hot Pallas kernel
     # (ops/compaction_pallas.py) on TPU backends — bitwise-identical to the
     # jnp selector-matmul path, minus the HBM round-trip of the (M, C)

@@ -777,7 +777,17 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
     path (Jacobi — order-independent math); conformance runs (PGS
     row-order parity with the referee) keep the classic path. Enabled via
     ``EngineConfig.typed_buckets``.
+
+    When ``config.cm_narrowphase`` and every enabled bucket has a
+    component-major kernel (ops/narrowphase_cm.py — the pairs-in-lanes
+    layout, round-4 machinery fix), the CM twin runs instead; this
+    row-major body is the fallback and the layout-A/B reference.
     """
+    if config.cm_narrowphase:
+        from rl_ode_physics_tpu.ops import narrowphase_cm
+        if narrowphase_cm.supports_cm(config):
+            return narrowphase_cm.narrowphase_typed_cm(
+                state, config, extra, exclude)
     n = state.num_slots
     ccap = config.max_contacts
     k_glob = config.max_contacts_per_pair
