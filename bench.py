@@ -103,11 +103,11 @@ def main():
     num_bodies = int(os.environ.get("BENCH_BODIES", 64))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", 8))
     launches = int(os.environ.get("BENCH_STEPS", 12))
-    # chunk=128 measured optimal on this chip (25.2M vs 21.6M at 2048):
-    # small sequential lax.map chunks keep each chunk's collision/solver
-    # intermediates cache/VMEM-resident between fusions (sweep in
-    # docs/BENCHMARKS.md; 64 collapses to 7.5M - too little parallelism)
-    chunk = int(os.environ.get("BENCH_CHUNK", 128))
+    # chunk=256 measured optimal with the round-4 component-major
+    # narrowphase (45.5M vs 44.4M @128, 42.6M @512, 30.1M @64 — the CM
+    # layout shrank the per-chunk working set, moving the optimum up from
+    # the round-3 chunk 128; sweep in docs/BENCHMARKS.md)
+    chunk = int(os.environ.get("BENCH_CHUNK", 256))
     solver = SolverKind[os.environ.get("BENCH_SOLVER", "jacobi").upper()]
     unroll = int(os.environ.get("BENCH_UNROLL", 2))
     if num_worlds <= chunk or num_worlds % chunk:

@@ -36,7 +36,8 @@ def main(num_worlds: int = 2048, substeps: int = 8):
 
     solver = SolverKind[os.environ.get("BENCH_SOLVER", "jacobi").upper()]
     cfg = EngineConfig(max_bodies=64, max_pair_candidates=256,
-                       max_contacts=128, max_contacts_per_pair=4,
+                       max_contacts=int(os.environ.get("BENCH_CONTACTS", 128)),
+                       max_contacts_per_pair=4,
                        solver=solver,
                        solver_iterations=int(os.environ.get("BENCH_ITERS", 10)),
                        jacobi_omega=float(os.environ.get("BENCH_OMEGA", 1.2)),
@@ -45,6 +46,7 @@ def main(num_worlds: int = 2048, substeps: int = 8):
                        selector_dtype=os.environ.get("BENCH_SEL_DTYPE",
                                                      "float32"),
                        bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
+                       cm_narrowphase=os.environ.get("BENCH_CM", "1") != "0",
                        enable_capsules=False, enable_planes=False)
     w = scenes.bench_world(cfg, num_bodies=60)
     batch = replicate(w, num_worlds)

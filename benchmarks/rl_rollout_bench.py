@@ -42,16 +42,24 @@ def main():
     horizon = int(os.environ.get("BENCH_HORIZON", 16))
     repeats = int(os.environ.get("BENCH_REPEATS", 4))
     lidar_rays = int(os.environ.get("BENCH_LIDAR", 16))
+    # chunked stepping inside the env, same measured-optimal regime as
+    # bench.py (the round-3 rollout stepped 8192 worlds in one unchunked
+    # vmap — a large share of its 9.4x gap vs the raw engine)
+    chunk = int(os.environ.get("BENCH_CHUNK", 128))
+    if num_worlds <= chunk or num_worlds % chunk:
+        chunk = 0
+    # ALL slots (round-3 behavior) vs actor slots only: BENCH_OBS=all|actors
+    obs_mode = os.environ.get("BENCH_OBS", "actors")
 
-    config = EngineConfig(
+    # the SHIPPED throughput policy (hb-8, typed buckets, K=4 — identical
+    # numerics to bench.py by construction) + the bench capacities sized
+    # to the audited hb-8 contact peaks
+    config = EngineConfig.throughput(
         max_bodies=num_bodies,
         max_pair_candidates=4 * num_bodies,
-        max_contacts=2 * num_bodies,
-        max_contacts_per_pair=4,
-        solver_iterations=10, jacobi_omega=1.2, jacobi_beta=0.9,
+        max_contacts=int(os.environ.get(
+            "BENCH_CONTACTS", 80 if num_bodies == 64 else 2 * num_bodies)),
         enable_capsules=False, enable_planes=False,
-        selector_dtype=os.environ.get("BENCH_SEL_DTYPE", "bfloat16"),
-        typed_buckets=True,
         bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
     )
 
@@ -61,13 +69,19 @@ def main():
         ang = np.linspace(0, 2 * np.pi, lidar_rays, endpoint=False)
         lidar = np.stack([np.cos(ang), np.zeros_like(ang), np.sin(ang)], -1)
 
+    actor_slots = [4, 5]              # two dynamic bodies are the actors
     env = PhysicsEnv(
         config,
         lambda cfg, seed: scenes.bench_world(cfg, num_bodies=num_bodies - 4,
                                              seed=seed),
-        actor_slots=[4, 5],           # two dynamic bodies are the actors
+        actor_slots=actor_slots,
         num_worlds=num_worlds, substeps=substeps,
         lidar_dirs=lidar,
+        chunk=chunk,
+        # a policy consumes its actors' states (+ lidar), not all 64 slots;
+        # materializing (T, B, 64, 13) observations was a measured share of
+        # the round-3 rollout gap
+        obs_slots=None if obs_mode == "all" else actor_slots,
     )
     state, obs = env.reset(seed=42)
     num_actors = env.num_actors
@@ -91,11 +105,19 @@ def main():
 
     env_steps = num_worlds * horizon * repeats
     dynamic = num_bodies - 4
+    # capacity honesty, same as bench.py: overflow is loud, assert zero
+    overflow = int(np.asarray(state.overflow).sum())
+    if overflow:
+        raise RuntimeError(f"contact capacity overflow in rollout bench: "
+                           f"{overflow} dropped rows")
     print(json.dumps({
         "metric": f"env-steps/sec ({num_worlds} worlds, horizon {horizon}, "
                   f"{substeps} substeps/env-step, {num_actors} actors, "
-                  f"lidar {lidar_rays} rays, obs (N,13)"
-                  f"{' + lidar' if lidar_rays else ''})",
+                  f"chunk {chunk}, lidar {lidar_rays} rays, "
+                  f"obs ({env.num_obs_slots},13)"
+                  f"{' + lidar' if lidar_rays else ''}, "
+                  f"solver hb-{config.solver_iterations} "
+                  f"omega={config.jacobi_omega} beta={config.jacobi_beta})",
         "value": env_steps / dt,
         "unit": "env-steps/sec",
         "body_steps_per_sec": env_steps * substeps * dynamic / dt,

@@ -5,7 +5,8 @@ throughput": thousands of vmapped worlds stepped in lockstep, each fed
 per-step actions. This wrapper packages the physics core as a purely
 functional, fully jittable environment:
 
-    env = PhysicsEnv(config, scene_fn, actor_slots=[4, 5], num_worlds=8192)
+    env = PhysicsEnv(config, scene_fn, actor_slots=[4, 5], num_worlds=8192,
+                     chunk=128)
     state, obs = env.reset(seed=0)
     state, obs = env.step(state, actions)         # one 60 Hz control step
     final, traj = env.rollout(state, action_seq)  # lax.scan over steps
@@ -14,11 +15,22 @@ functional, fully jittable environment:
   applied to the actor slots for the duration of the control step
   (the ``dBodyAddForce`` channel the reference left as a TODO,
   ``src/main.c:531-532``).
-* observations: (num_worlds, N, 13) — pos(3) quat(4) linvel(3) angvel(3)
-  per slot; rewards/termination are caller-defined (pure functions of
-  state), keeping this layer task-agnostic.
+* observations: (num_worlds, S, 13) — pos(3) quat(4) linvel(3) angvel(3)
+  per OBSERVED slot. ``obs_slots`` selects which body slots are observed
+  (default: every slot, the round-3 behavior; a policy that only consumes
+  its actors should pass ``obs_slots=actor_slots`` — materializing all 64
+  slots across a rollout horizon was measured as a large share of the
+  round-3 rollout gap, docs/BENCHMARKS.md §RL rollout). Rewards/
+  termination are caller-defined (pure functions of state), keeping this
+  layer task-agnostic.
 * ``substeps`` physics substeps (120 Hz) per control step — the reference's
   2 substeps per 60 Hz broadcast.
+* ``chunk``: step the world batch in sequential chunks of this size inside
+  the launch (``lax.map``), exactly like ``parallel.batch.
+  make_batched_step_fn`` — the same measured-optimal regime as the raw
+  engine bench (chunk 128 keeps each chunk's collision/solver
+  intermediates VMEM-resident; the round-3 rollout stepped all 8192
+  worlds in ONE unchunked vmap and paid ~2x for it).
 * optional ``lidar``: body-attached ray fans (``ops/raycast``) appended to
   the observation — (num_rays,) distances per actor, the standard RL
   range-sensor channel.
@@ -38,11 +50,17 @@ from rl_ode_physics_tpu.core.world import step as step_one
 from rl_ode_physics_tpu.parallel.batch import replicate
 
 
-def observe(state: WorldState) -> jnp.ndarray:
-    """(…, N, 13) observation tensor from a (possibly batched) state."""
-    return jnp.concatenate(
+def observe(state: WorldState, slots=None) -> jnp.ndarray:
+    """(…, S, 13) observation tensor from a (possibly batched) state.
+
+    ``slots``: optional static sequence of body slots to observe; None
+    observes every slot (S = N)."""
+    full = jnp.concatenate(
         [state.pos, state.quat, state.linvel, state.angvel], axis=-1
     )
+    if slots is None:
+        return full
+    return full[..., tuple(slots), :]     # static take → slice, no gather
 
 
 class PhysicsEnv:
@@ -50,10 +68,16 @@ class PhysicsEnv:
                  scene_fn: Callable[[EngineConfig, int], WorldState],
                  actor_slots: Sequence[int] = (),
                  num_worlds: int = 1, substeps: int = 2,
-                 trimesh=None, lidar_dirs=None, lidar_range: float = 50.0):
+                 trimesh=None, lidar_dirs=None, lidar_range: float = 50.0,
+                 obs_slots: Optional[Sequence[int]] = None,
+                 chunk: int = 0):
         """``lidar_dirs``: optional (R, 3) body-frame ray directions; each
         actor casts them from its position every step and the normalized
         hit distances (R,) are appended to the observation."""
+        config.validate()
+        if chunk and num_worlds % chunk:
+            raise ValueError(
+                f"num_worlds {num_worlds} not divisible by chunk {chunk}")
         self.config = config
         self.scene_fn = scene_fn
         self.actor_slots = jnp.asarray(list(actor_slots), jnp.int32)
@@ -63,22 +87,32 @@ class PhysicsEnv:
         self.lidar_dirs = (None if lidar_dirs is None
                            else jnp.asarray(lidar_dirs, jnp.float32))
         self.lidar_range = lidar_range
+        self.obs_slots = (None if obs_slots is None
+                          else tuple(int(s) for s in obs_slots))
+        self.chunk = chunk
         self._step = self._build_step()
 
     @property
     def num_actors(self) -> int:
         return int(self.actor_slots.shape[0])
 
+    @property
+    def num_obs_slots(self) -> int:
+        return (self.config.max_bodies if self.obs_slots is None
+                else len(self.obs_slots))
+
     def reset(self, seed: int = 0) -> Tuple[WorldState, jnp.ndarray]:
         world = self.scene_fn(self.config, seed)
         batch = replicate(world, self.num_worlds)
-        return batch, observe(batch)
+        return batch, observe(batch, self.obs_slots)
 
     def _build_step(self):
         config = self.config
         actor_slots = self.actor_slots
         substeps = self.substeps
         trimesh = self.trimesh
+        chunk = self.chunk
+        obs_slots = self.obs_slots
 
         def single(state: WorldState, action: jnp.ndarray) -> WorldState:
             # apply actor forces/torques via one-hot projection (no scatter)
@@ -104,6 +138,18 @@ class PhysicsEnv:
             return state
 
         batched = jax.vmap(single)
+
+        def stepped(state: WorldState, actions: jnp.ndarray) -> WorldState:
+            if not chunk or state.pos.shape[0] <= chunk:
+                return batched(state, actions)
+            b_total = state.pos.shape[0]
+            fold = lambda x: x.reshape(
+                (b_total // chunk, chunk) + x.shape[1:])
+            folded = (jax.tree_util.tree_map(fold, state), fold(actions))
+            out = jax.lax.map(lambda sa: batched(*sa), folded)
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape((b_total,) + x.shape[2:]), out)
+
         lidar_dirs = self.lidar_dirs
         lidar_range = self.lidar_range
 
@@ -124,8 +170,8 @@ class PhysicsEnv:
 
         @jax.jit
         def env_step(state: WorldState, actions: jnp.ndarray):
-            new_state = batched(state, actions)
-            obs = observe(new_state)
+            new_state = stepped(state, actions)
+            obs = observe(new_state, obs_slots)
             if lidar_dirs is not None and actor_slots.shape[0]:
                 lid = jax.vmap(sense)(new_state)        # (B, A, R)
                 obs = (obs, lid)
@@ -138,8 +184,7 @@ class PhysicsEnv:
         return self._step(state, actions)
 
     def rollout(self, state: WorldState, action_seq: jnp.ndarray):
-        """``lax.scan`` over (T, B, A, 6) actions → (final_state, (T, B, N, 13))."""
-        config, substeps = self.config, self.substeps
+        """``lax.scan`` over (T, B, A, 6) actions → (final_state, (T, B, S, 13))."""
         step_fn = self._step
 
         @jax.jit

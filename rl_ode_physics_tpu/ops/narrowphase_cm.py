@@ -679,11 +679,12 @@ def narrowphase_typed_cm(state: WorldState, config: EngineConfig,
     g = len(kernels)
     p_cap = max(caps)
     masks_l = [hit & (tmin == t1) & (tmax == t2) for (t1, t2), _ in kernels]
-    # TRANSPOSED within-row cumsums (N cols j, N rows i): wt[j, i] =
-    # #hits in row i at columns <= j — so the in-row column search below
-    # is a (N, N)·(N, P) dot with P in lanes
-    wt_l = [jnp.cumsum(m.T.astype(sel_dt), axis=0) for m in masks_l]
-    rowcnt = jnp.stack([w[-1] for w in wt_l]).astype(jnp.int32)   # (G, N)
+    # within-row cumsums, lane-major like the row-major path (an explicit
+    # m.T + sublane cumsum materialized 0.33 ms/substep of copies @2048;
+    # the in-row column search below contracts over within's ROW dim with
+    # dot_general instead — the MXU loads either operand orientation free)
+    within_l = [jnp.cumsum(m.astype(sel_dt), axis=1) for m in masks_l]
+    rowcnt = jnp.stack([w[:, -1] for w in within_l]).astype(jnp.int32)  # (G, N)
     rowoff = jnp.cumsum(rowcnt, axis=1) - rowcnt             # exclusive
     total3 = jnp.sum(rowcnt, axis=1)                         # (G,)
     caps_a = jnp.asarray(caps, jnp.int32)
@@ -707,8 +708,12 @@ def narrowphase_typed_cm(state: WorldState, config: EngineConfig,
         for gi in range(g)]                                   # G × (N, P)
     fa3 = [jnp.matmul(feats_t, oh_a_l[gi], preferred_element_type=f)
            for gi in range(g)]                                # G × (11, P)
-    ib3 = [jnp.sum((jnp.matmul(wt_l[gi], oh_a_l[gi],
-                               preferred_element_type=sel_dt)
+    # within[ia3[p], j] as (N j, P): contract within's ROW dim (i) against
+    # the (N i, P) one-hot — dot_general(((0,), (0,))), no transposes
+    ib3 = [jnp.sum((jax.lax.dot_general(
+                within_l[gi], oh_a_l[gi],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=sel_dt)
                     <= r_resid3[gi][None, :]).astype(jnp.int32), axis=0)
            for gi in range(g)]                                # G × (P,)
     ia3 = jnp.where(bvalid3, ia3, 0)

@@ -77,3 +77,41 @@ def test_spawn_inside_jit():
     for i in range(CFG.max_bodies):
         w, slot = spawn_and_step(w, jnp.asarray([0.0, 3.0 + i, 0.0]))
     assert int(slot) == -1
+
+
+def test_chunked_env_matches_unchunked():
+    """chunk=2 over 4 worlds must produce bitwise-identical states to the
+    unchunked vmap (identical per-world program, different batching)."""
+    env_u = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=4,
+                       substeps=2)
+    env_c = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=4,
+                       substeps=2, chunk=2)
+    s_u, o_u = env_u.reset()
+    s_c, o_c = env_c.reset()
+    key = jax.random.PRNGKey(0)
+    acts = 0.3 * jax.random.normal(key, (5, 4, 1, 6), jnp.float32)
+    for t in range(5):
+        s_u, o_u = env_u.step(s_u, acts[t])
+        s_c, o_c = env_c.step(s_c, acts[t])
+    assert np.array_equal(np.asarray(s_u.pos), np.asarray(s_c.pos))
+    assert np.array_equal(np.asarray(o_u), np.asarray(o_c))
+
+
+def test_obs_slots_selects_actor_rows():
+    env_all = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=2,
+                         substeps=2)
+    env_sel = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=2,
+                         substeps=2, obs_slots=[4])
+    s_a, o_a = env_all.reset()
+    s_s, o_s = env_sel.reset()
+    assert o_a.shape == (2, 8, 13)
+    assert o_s.shape == (2, 1, 13)
+    acts = jnp.ones((2, 1, 6)) * 0.5
+    s_a, o_a = env_all.step(s_a, acts)
+    s_s, o_s = env_sel.step(s_s, acts)
+    # the selected observation IS the actor's row of the full observation
+    assert np.array_equal(np.asarray(o_a[:, 4:5, :]), np.asarray(o_s))
+    # rollout emits only the selected slots across the horizon
+    seq = jnp.zeros((3, 2, 1, 6))
+    _, traj = env_sel.rollout(s_s, seq)
+    assert traj.shape == (3, 2, 1, 13)
