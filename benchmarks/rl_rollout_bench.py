@@ -44,8 +44,10 @@ def main():
     lidar_rays = int(os.environ.get("BENCH_LIDAR", 16))
     # chunked stepping inside the env, same measured-optimal regime as
     # bench.py (the round-3 rollout stepped 8192 worlds in one unchunked
-    # vmap — a large share of its 9.4x gap vs the raw engine)
-    chunk = int(os.environ.get("BENCH_CHUNK", 128))
+    # vmap — a large share of its 9.4x gap vs the raw engine). 256 is the
+    # round-4 optimum for the chunk-major rollout (sweep: 64 → 132k,
+    # 128 → 241k, 256 → 247k, 512 → 248k env-steps/sec; docs/BENCHMARKS.md)
+    chunk = int(os.environ.get("BENCH_CHUNK", 256))
     if num_worlds <= chunk or num_worlds % chunk:
         chunk = 0
     # ALL slots (round-3 behavior) vs actor slots only: BENCH_OBS=all|actors

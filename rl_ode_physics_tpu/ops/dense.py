@@ -18,13 +18,16 @@ is the fully dense alternative (``EngineConfig.dense_pipeline=True``):
 Memory is O(N²K) per world — the dense/sparse crossover is around a few
 hundred bodies; above that use the sparse pipeline (the default).
 
-Status: EXPERIMENTAL. Results match the sparse pipeline; on the current TPU
-backend XLA pins the solver's loop-carried (N, N, K, 3) constants to default
-layouts whose (4, 3)-minor tiles pad 42× (measured: 26 GB for 512 worlds),
-so the dense path is only practical on CPU / tiny batches today. (It was
-also the algorithmic blueprint for the FUSED substep megakernel, which was
-built, measured slower than the chunked jnp path, and retired in round 3 —
-docs/BENCHMARKS.md.)
+Status (decided round 4): KEPT, as the independent cross-validation
+pipeline — an algorithmically disjoint implementation of the same contact
+physics (no compaction, no selector matmuls, no capacity caps) that
+``tests/test_dense.py`` diffs against the production sparse path. It is
+NOT a production TPU path: XLA pins the solver's loop-carried
+(N, N, K, 3) constants to default layouts whose (4, 3)-minor tiles pad
+42× (measured: 26 GB for 512 worlds), so it is practical on CPU / tiny
+batches only, and ``parallel/batch.py`` OOM-guards it. Its historical
+role as the FUSED-megakernel blueprint ended when FUSED was retired with
+a measured rationale in round 3 (docs/BENCHMARKS.md).
 """
 
 from __future__ import annotations

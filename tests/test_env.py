@@ -97,6 +97,26 @@ def test_chunked_env_matches_unchunked():
     assert np.array_equal(np.asarray(o_u), np.asarray(o_c))
 
 
+def test_chunked_rollout_matches_unchunked():
+    """rollout's chunk-major order (lax.map over world chunks, each
+    scanning the full horizon) must be bitwise-identical to the
+    step-major unchunked scan — worlds are independent, so reordering
+    the (chunk, time) loop nest cannot change any world's trajectory."""
+    env_u = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=4,
+                       substeps=2)
+    env_c = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=4,
+                       substeps=2, chunk=2)
+    s_u, _ = env_u.reset()
+    s_c, _ = env_c.reset()
+    acts = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (5, 4, 1, 6),
+                                   jnp.float32)
+    f_u, traj_u = env_u.rollout(s_u, acts)
+    f_c, traj_c = env_c.rollout(s_c, acts)
+    assert traj_u.shape == traj_c.shape == (5, 4, 8, 13)
+    assert np.array_equal(np.asarray(f_u.pos), np.asarray(f_c.pos))
+    assert np.array_equal(np.asarray(traj_u), np.asarray(traj_c))
+
+
 def test_obs_slots_selects_actor_rows():
     env_all = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=2,
                          substeps=2)
