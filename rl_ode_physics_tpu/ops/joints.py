@@ -476,14 +476,17 @@ def joint_rows(state: WorldState, joints: JointSet, config: EngineConfig):
                 rhs=rhs, live=live, lob=lob, hib=hib)
 
 
-def joint_iteration(vel8, rows, lam, omega, cfm_term, parallel=True):
-    """One relaxation pass over all joint rows (equality rows have ±inf
-    clamp bounds; motor/limit rows are clamped).
+def joint_iteration(vel8, rows, lam, omega, cfm_term):
+    """One BATCHED (Jacobi, mass-split) relaxation pass over all joint rows
+    (equality rows have ±inf clamp bounds; motor/limit rows are clamped).
 
     ``vel8``: (N, 8) packed [linvel ‖ angvel ‖ pad] (the Jacobi solver's
     carry). Gather-compute-scatter with one-hot matmuls, like the contact
-    pass; rows see the velocities from the START of the pass (Jacobi,
-    mass-split) so the update is deterministic and batched.
+    pass; rows see the velocities from the START of the pass so the update
+    is deterministic and batched. Stability requires the mass-SPLIT
+    effective mass ``rows["d"]`` (split by per-body joint degree) — the
+    throughput JACOBI solver's pass. The conformance PGS path uses
+    ``joint_iteration_seq`` instead (exact QuickStep sweep order).
     Returns (vel8', lam').
     """
     f = vel8.dtype
@@ -497,7 +500,7 @@ def joint_iteration(vel8, rows, lam, omega, cfm_term, parallel=True):
     rel = (jnp.sum((vb[:, 0:3] - va[:, 0:3]) * rows["n"], -1)
            + jnp.sum(vb[:, 3:6] * rows["wb"], -1)
            - jnp.sum(va[:, 3:6] * rows["wa"], -1))
-    d = rows["d"] if parallel else rows["d_seq"]
+    d = rows["d"]
     # target velocity = +erp/dt · constraint error (drives the error to
     # zero: positive dλ pushes body b along +n / body a along −n);
     # equality rows have ±inf bounds, motor/limit rows are clamped
@@ -517,6 +520,53 @@ def joint_iteration(vel8, rows, lam, omega, cfm_term, parallel=True):
          jnp.zeros((imp.shape[0], 2), f)], -1)
     dv = oh_a.T @ contrib_a + oh_b.T @ contrib_b          # (N, 8)
     return vel8 + dv, lam
+
+
+def joint_iteration_seq(vel8, rows, lam, omega, cfm_term):
+    """One SEQUENTIAL (Gauss-Seidel) SOR pass over the joint rows — each
+    row sees the velocities already updated by every previous row, exactly
+    ODE QuickStep's sweep semantics for bilateral rows.
+
+    Used by the conformance-grade PGS path and the DANTZIG bilateral
+    post-pass. The batched ``joint_iteration`` (Jacobi, snapshot
+    velocities) is only stable with the mass-split effective mass
+    (``rows["d"]``); with the plain ``d_seq`` it DIVERGES on joint chains —
+    two joints sharing a body (e.g. hinge + ball in a two-link pendulum)
+    both apply full-magnitude corrections against the same snapshot, the
+    summed update overshoots ~2x, and the per-step iteration loop amplifies
+    it (found by the hinge_chain conformance trajectory,
+    tests/test_conformance_referee.py). Gauss-Seidel has no such
+    self-coupling term, matching the referee's sequential mirror
+    (testing/referee.py:_joint_pass).
+
+    Scalar scan over R = J·7 rows: the conformance path trades lanes for
+    exact QuickStep ordering (same design choice as solve_pgs's row scan).
+    """
+    f = vel8.dtype
+
+    def one_row(carry, i):
+        v8, lm = carry
+        a, b = rows["a"][i], rows["b"][i]
+        va, vb = v8[a], v8[b]
+        rel = (jnp.sum((vb[0:3] - va[0:3]) * rows["n"][i])
+               + jnp.sum(vb[3:6] * rows["wb"][i])
+               - jnp.sum(va[3:6] * rows["wa"][i]))
+        dl = (omega * (rows["rhs"][i] - rel - cfm_term * lm[i])
+              / rows["d_seq"][i])
+        new = jnp.clip(lm[i] + dl, rows["lob"][i], rows["hib"][i])
+        dl = jnp.where(rows["live"][i], new - lm[i], 0.0)
+        lm = lm.at[i].add(dl)
+        imp = rows["n"][i] * dl
+        z2 = jnp.zeros((2,), f)
+        v8 = v8.at[a].add(jnp.concatenate(
+            [-rows["inv_m_a"][i] * imp, -rows["ang_resp_a"][i] * dl, z2]))
+        v8 = v8.at[b].add(jnp.concatenate(
+            [rows["inv_m_b"][i] * imp, rows["ang_resp_b"][i] * dl, z2]))
+        return (v8, lm), None
+
+    (vel8, lam), _ = jax.lax.scan(
+        one_row, (vel8, lam), jnp.arange(rows["rhs"].shape[0]))
+    return vel8, lam
 
 
 def feedback(rows, lam, dt: float):

@@ -277,19 +277,22 @@ def solve_pgs(state: WorldState, contacts: Contacts,
 
     with_joints = joints_rows is not None
     if with_joints:
-        from rl_ode_physics_tpu.ops.joints import joint_iteration
+        from rl_ode_physics_tpu.ops.joints import joint_iteration_seq
 
     def one_iter(_, carry):
         if with_joints:
             carry, jlam = carry[:-1], carry[-1]
         carry, _ = jax.lax.scan(one_row, carry, jnp.arange(c))
         if with_joints:
-            # interleaved bilateral pass after each contact sweep
+            # interleaved bilateral pass after each contact sweep —
+            # SEQUENTIAL (Gauss-Seidel) like the contact scan above: the
+            # snapshot (Jacobi) pass diverges on joint chains sharing a
+            # body (ops/joints.py:joint_iteration_seq docstring)
             linvel, angvel = carry[0], carry[1]
             vel8 = jnp.concatenate(
                 [linvel, angvel, jnp.zeros_like(linvel[:, :2])], -1)
-            vel8, jlam = joint_iteration(vel8, joints_rows, jlam, omega,
-                                         cfm_term, parallel=False)
+            vel8, jlam = joint_iteration_seq(vel8, joints_rows, jlam,
+                                             omega, cfm_term)
             carry = (vel8[:, 0:3], vel8[:, 3:6]) + carry[2:] + (jlam,)
         return carry
 
@@ -656,9 +659,11 @@ def solve(state: WorldState, contacts: Contacts,
         state = solve_dantzig(state, contacts, config)
         if joints_rows is not None:
             # direct contact solve, then iterative bilateral relaxation
-            # (joint rows are equality constraints — plain relaxation
-            # converges; documented deviation from a single mixed LCP)
-            from rl_ode_physics_tpu.ops.joints import joint_iteration
+            # (joint rows are equality constraints — Gauss-Seidel
+            # relaxation converges; documented deviation from a single
+            # mixed LCP. Sequential, not the snapshot Jacobi pass, which
+            # diverges on joint chains — joint_iteration_seq docstring)
+            from rl_ode_physics_tpu.ops.joints import joint_iteration_seq
             vel8 = jnp.concatenate(
                 [state.linvel, state.angvel,
                  jnp.zeros_like(state.linvel[:, :2])], -1)
@@ -666,8 +671,7 @@ def solve(state: WorldState, contacts: Contacts,
             cfm_term = config.cfm / config.dt
             def body(_, carry):
                 v, l = carry
-                return joint_iteration(v, joints_rows, l, 1.0, cfm_term,
-                                       parallel=False)
+                return joint_iteration_seq(v, joints_rows, l, 1.0, cfm_term)
             vel8, _ = jax.lax.fori_loop(
                 0, config.solver_iterations, body, (vel8, jlam))
             state = state.replace(linvel=vel8[:, 0:3], angvel=vel8[:, 3:6])

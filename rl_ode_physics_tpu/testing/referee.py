@@ -60,6 +60,9 @@ class RefereeConfig:
     # the unique solution of (A + cfm/h·I)λ = rhs with normal-row
     # complementarity; mirrors the engine's SolverKind.DANTZIG)
     solver: str = "pgs"
+    # trimesh narrowphase mirror (ops/trimesh.py:mesh_narrowphase)
+    mesh_probes: int = 3
+    mesh_contacts_per_body: int = 4
     # ODE QuickStep randomizes the constraint sweep order per iteration
     # (dxQuickStepper reorders rows before each SOR pass); both the engine
     # and this referee deliberately drop that for bitwise lockstep replay
@@ -484,9 +487,10 @@ def _aabb(pos, q, t, sz):
 # the step
 # ---------------------------------------------------------------------------
 
-def _contacts(w, cfg: RefereeConfig):
+def _contacts(w, cfg: RefereeConfig, exclude=None):
     """Rows in the engine's deterministic buffer order: pairs by flattened
-    upper-triangular (i*N+j) index, manifold slots in kernel order."""
+    upper-triangular (i*N+j) index, manifold slots in kernel order.
+    ``exclude``: set of (i, j) pairs to skip (joint-connected bodies)."""
     n = len(w["body_type"])
     boxes = [_aabb(w["pos"][i], w["quat"][i], int(w["body_type"][i]),
                    w["size"][i]) for i in range(n)]
@@ -501,6 +505,8 @@ def _contacts(w, cfg: RefereeConfig):
             if not (active[i] and active[j]):
                 continue
             if ti == TRIMESH or tj == TRIMESH:
+                continue
+            if exclude is not None and (i, j) in exclude:
                 continue
             if not (movable[i] or movable[j]):
                 continue
@@ -519,14 +525,486 @@ def _contacts(w, cfg: RefereeConfig):
     return rows
 
 
-def referee_step(w: dict, cfg: RefereeConfig) -> dict:
+# ---------------------------------------------------------------------------
+# static trimesh (engine spec: ops/trimesh.py — scalar mirror of the
+# two-phase exact narrowphase, including the tile/candidate culling and the
+# deepest-first dedup manifold, so the two implementations select the SAME
+# contact rows and the trajectory diff is meaningful)
+# ---------------------------------------------------------------------------
+
+_MESH_TILE = 128          # ops/trimesh.py:MESH_TILE
+_CAND_TILES = 8           # ops/trimesh.py:CAND_TILES
+_CAND_TRIS = 16           # ops/trimesh.py:CAND_TRIS
+
+
+def trimesh_to_numpy(mesh) -> dict:
+    """ops.trimesh.TriMesh (JAX pytree, PADDED to the tile multiple) ->
+    dict of float64 arrays. Padding is kept: the engine's tile boundaries
+    are defined on the padded triangle list."""
+    return dict(
+        v0=np.asarray(mesh.v0, np.float64),
+        e1=np.asarray(mesh.e1, np.float64),
+        e2=np.asarray(mesh.e2, np.float64),
+        normal=np.asarray(mesh.normal, np.float64),
+        slot=int(mesh.slot),
+    )
+
+
+def _closest_on_triangle(p, v0, e1, e2):
+    """Ericson closest point, scalar — mirrors the engine's branch-free
+    region select order (ops/trimesh.py:_tri_vw: the LAST where wins, so
+    vertex regions take priority over edge regions over interior)."""
+    ap = p - v0
+    d1, d2 = float(e1 @ ap), float(e2 @ ap)
+    bp = p - (v0 + e1)
+    d3, d4 = float(e1 @ bp), float(e2 @ bp)
+    cp_ = p - (v0 + e2)
+    d5, d6 = float(e1 @ cp_), float(e2 @ cp_)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    if d1 <= 0 and d2 <= 0:                       # vertex A
+        v, w = 0.0, 0.0
+    elif d3 >= 0 and d4 <= d3:                    # vertex B
+        v, w = 1.0, 0.0
+    elif d6 >= 0 and d5 <= d6:                    # vertex C
+        v, w = 0.0, 1.0
+    elif vc <= 0 and d1 >= 0 and d3 <= 0:         # edge AB
+        den = d1 - d3
+        v = float(np.clip(d1 / den if abs(den) > _EPS else 0.0, 0.0, 1.0))
+        w = 0.0
+    elif vb <= 0 and d2 >= 0 and d6 <= 0:         # edge AC
+        den = d2 - d6
+        v = 0.0
+        w = float(np.clip(d2 / den if abs(den) > _EPS else 0.0, 0.0, 1.0))
+    elif va <= 0 and (d4 - d3) >= 0 and (d5 - d6) >= 0:   # edge BC
+        den = (d4 - d3) + (d5 - d6)
+        w = float(np.clip((d4 - d3) / den if abs(den) > _EPS else (d4 - d3),
+                          0.0, 1.0))
+        v = 1.0 - w
+    else:                                         # interior
+        den = va + vb + vc
+        safe = den if abs(den) > _EPS else 1.0
+        v, w = vb / safe, vc / safe
+    return v0 + v * e1 + w * e2
+
+
+def _min_face_exit_np(q, half, r_mat):
+    """ops/trimesh.py:_min_face_exit — nearest box-face depth + world
+    outward normal for a box-local point q (assumed inside)."""
+    slack = half - np.abs(q)
+    axis = int(np.argmin(slack))
+    depth = float(np.min(slack))
+    sign = 1.0 if q[axis] >= 0.0 else -1.0
+    if q[axis] == 0.0:
+        sign = 1.0
+    return depth, r_mat[:, axis] * sign
+
+
+def _box_tri_candidates_np(pos, r_mat, half, v0, e1, e2, n_tri):
+    """ops/trimesh.py:box_tri_candidates — 17 rows in class order:
+    8 corners-below-face, 3 tri-vertices-in-box, 6 edge-clip endpoints."""
+    eps = 1e-6
+    a11, a12, a22 = float(e1 @ e1), float(e1 @ e2), float(e2 @ e2)
+    det = a11 * a22 - a12 * a12
+    ok_det = abs(det) > _EPS
+    safe_det = det if ok_det else 1.0
+
+    s_face = np.sign(float((pos - v0) @ n_tri))
+    if s_face == 0.0:
+        s_face = 1.0
+    n_f = n_tri * s_face
+
+    out = []
+    for corner_u in _BOX_CORNERS:                 # 8 corner rows
+        c = pos + r_mat @ (corner_u * half)
+        h_c = float((c - v0) @ n_f)
+        d_vec = c - v0
+        u = (a22 * float(e1 @ d_vec) - a12 * float(e2 @ d_vec)) / safe_det
+        w_ = (a11 * float(e2 @ d_vec) - a12 * float(e1 @ d_vec)) / safe_det
+        inside = ok_det and u >= -eps and w_ >= -eps and u + w_ <= 1.0 + eps
+        out.append((c, -n_f, -h_c, (-h_c > 0.0) and inside))
+
+    tri_v = [v0, v0 + e1, v0 + e2]
+    for tv in tri_v:                              # 3 vertex rows
+        q = r_mat.T @ (tv - pos)
+        inside_box = bool(np.all(np.abs(q) <= half + eps))
+        dep, nrm = _min_face_exit_np(q, half, r_mat)
+        out.append((tv, nrm, dep, inside_box and dep > 0.0))
+
+    e_dirs = [e1, (e2 - e1), -e2]
+    for j in range(3):                            # 6 edge-clip rows
+        p_a, d = tri_v[j], e_dirs[j]
+        a_l = r_mat.T @ (p_a - pos)
+        dl = r_mat.T @ d
+        t0i, t1i = [], []
+        for ax in range(3):
+            if abs(dl[ax]) > _EPS:
+                lo = (-half[ax] - a_l[ax]) / dl[ax]
+                hi = (half[ax] - a_l[ax]) / dl[ax]
+                t0i.append(min(lo, hi))
+                t1i.append(max(lo, hi))
+            else:
+                inside = abs(a_l[ax]) <= half[ax]
+                t0i.append(0.0 if inside else math.inf)
+                t1i.append(1.0 if inside else -math.inf)
+        t0 = max(max(t0i), 0.0)
+        t1 = min(min(t1i), 1.0)
+        nonempty = t0 < t1
+        for t, was_clipped in ((t0, t0 > eps), (t1, t1 < 1.0 - eps)):
+            # empty clips leave t at ±inf; the row is masked dead below but
+            # the point arithmetic would warn (inf·0) — pin t first
+            t_safe = t if math.isfinite(t) else 0.0
+            q = a_l + t_safe * dl
+            dep, nrm = _min_face_exit_np(q, half, r_mat)
+            out.append((p_a + t_safe * d, nrm, dep,
+                        nonempty and was_clipped and dep > 0.0))
+    return out
+
+
+def _capsule_tri_candidate_np(p0, p1, radius, v0, e1, e2, n_tri):
+    """ops/trimesh.py:capsule_tri_candidate — argmin over the 5-candidate
+    closest-feature set (2 endpoint-face + 3 edge-edge), plus the
+    core-crosses-face override."""
+    cand_tri, cand_core, d2s = [], [], []
+    for pe in (p0, p1):
+        ct = _closest_on_triangle(pe, v0, e1, e2)
+        cand_tri.append(ct)
+        cand_core.append(pe)
+        d2s.append(float((ct - pe) @ (ct - pe)))
+    tri_v = [v0, v0 + e1, v0 + e2]
+    for j in range(3):
+        ea, eb = tri_v[j], tri_v[(j + 1) % 3]
+        c_core, c_edge = _segment_segment(p0, p1, ea, eb)
+        cand_core.append(c_core)
+        cand_tri.append(c_edge)
+        d2s.append(float((c_core - c_edge) @ (c_core - c_edge)))
+    best = int(np.argmin(d2s))
+    pt_tri, pt_core = cand_tri[best], cand_core[best]
+    dist = math.sqrt(max(min(d2s), 0.0))
+
+    h0 = float((p0 - v0) @ n_tri)
+    h1 = float((p1 - v0) @ n_tri)
+    if h0 * h1 < 0.0:
+        denom = (h0 - h1) if abs(h0 - h1) > _EPS else 1.0
+        tx = float(np.clip(h0 / denom, 0.0, 1.0))
+        px = p0 + tx * (p1 - p0)
+        a11, a12, a22 = float(e1 @ e1), float(e1 @ e2), float(e2 @ e2)
+        det = a11 * a22 - a12 * a12
+        if abs(det) > _EPS:
+            d_vec = px - v0
+            u = (a22 * float(e1 @ d_vec) - a12 * float(e2 @ d_vec)) / det
+            w_ = (a11 * float(e2 @ d_vec) - a12 * float(e1 @ d_vec)) / det
+            if u >= 0 and w_ >= 0 and u + w_ <= 1.0:
+                dist = 0.0
+                pt_tri = px
+    n_dir = pt_tri - pt_core
+    n_len = float(np.linalg.norm(n_dir))
+    if n_len > 1e-6:
+        nrm = n_dir / max(n_len, _EPS)
+    else:
+        nrm = -n_tri * np.sign(h0 if abs(h0) > abs(h1) else h1)
+    dep = radius - dist
+    return pt_tri, nrm, dep, dep > 0.0
+
+
+def _mesh_contacts(w, mesh: dict, cfg: RefereeConfig):
+    """Static-trimesh contact rows in the engine's buffer order: appended
+    AFTER the primitive pair rows (ops/narrowphase.py:1062-1079), bodies in
+    slot order, K manifold rows per body deepest-first (only valid rows).
+
+    Mirrors the two-phase culling exactly (probe-min tile ranking →
+    candidate triangles → per-type exact contacts → dedup deepest-K) so
+    both implementations pick identical rows; top-k/argmax/argmin ties
+    resolve to the first index in both."""
+    n = len(w["body_type"])
+    k = cfg.mesh_contacts_per_body
+    v0_all, e1_all = mesh["v0"], mesh["e1"]
+    e2_all, n_all = mesh["e2"], mesh["normal"]
+    t_padded = v0_all.shape[0]
+    nt = t_padded // _MESH_TILE
+    kt = min(_CAND_TILES, nt)
+    ke = _CAND_TRIS
+
+    rows = []
+    for i in range(n):
+        bt = int(w["body_type"][i])
+        if bt not in (SPHERE, BOX, CAPSULE):
+            continue
+        eligible = (bool(w["inv_mass"][i] > 0) and not w["is_static"][i]
+                    and bt != NULL)
+        if not eligible:
+            continue
+        pos = w["pos"][i]
+        r_mat = quat_to_matrix(w["quat"][i])
+        half = 0.5 * w["size"][i]
+        r_sph = w["size"][i][0]
+        h_cap = 0.5 * w["size"][i][1]
+        axis_z = r_mat[:, 2]
+
+        # phase-1 probes: center (+ long-axis extremities for box/capsule)
+        if cfg.mesh_probes > 1:
+            if bt == BOX:
+                ax = int(np.argmax(half))
+                off = r_mat[:, ax] * half[ax]
+            elif bt == CAPSULE:
+                off = axis_z * (h_cap + r_sph)
+            else:
+                off = np.zeros(3)
+            probes = [pos, pos + off, pos - off]
+        else:
+            probes = [pos]
+
+        # per-triangle min-over-probes closest distance (padded list —
+        # padded tris sit at 1e9 and never win)
+        d2_tri_all = np.empty(t_padded)
+        for t in range(t_padded):
+            d2_tri_all[t] = min(
+                float(np.sum((_closest_on_triangle(
+                    p, v0_all[t], e1_all[t], e2_all[t]) - p) ** 2))
+                for p in probes)
+
+        # tile ranking (ascending min distance, ties by tile index), then
+        # candidate triangles indexed in TILE-RANK order — the engine's
+        # top_k over tiles reorders the candidate feature array
+        tile_d2 = d2_tri_all.reshape(nt, _MESH_TILE).min(axis=1)
+        tile_rank = np.argsort(tile_d2, kind="stable")[:kt]
+        cand_idx = np.concatenate(
+            [np.arange(t * _MESH_TILE, (t + 1) * _MESH_TILE)
+             for t in tile_rank])
+        cand_d2 = d2_tri_all[cand_idx]
+        top = np.argsort(cand_d2, kind="stable")[:ke]
+        tris = cand_idx[top]                       # (ke,) padded tri ids
+
+        # phase 2: per-type candidates over the ke triangles, in the
+        # engine's concatenation order (box rows are CLASS-major)
+        cands = []
+        if bt == SPHERE:
+            for t in tris:
+                cl = _closest_on_triangle(pos, v0_all[t], e1_all[t],
+                                          e2_all[t])
+                nd = cl - pos
+                nl = float(np.linalg.norm(nd))
+                nrm = (nd / max(nl, _EPS) if nl > 1e-6
+                       else np.array([0.0, -1.0, 0.0]))
+                dep = r_sph - nl
+                cands.append((cl, nrm, dep, dep > 0.0))
+        elif bt == BOX:
+            per_tri = [_box_tri_candidates_np(
+                pos, r_mat, half, v0_all[t], e1_all[t], e2_all[t], n_all[t])
+                for t in tris]                     # (ke, 17)
+            for cls in range(17):                  # class-major flatten
+                for pt in per_tri:
+                    cands.append(pt[cls])
+        else:                                      # CAPSULE
+            p0 = pos - axis_z * h_cap
+            p1 = pos + axis_z * h_cap
+            for t in tris:
+                cands.append(_capsule_tri_candidate_np(
+                    p0, p1, r_sph, v0_all[t], e1_all[t], e2_all[t],
+                    n_all[t]))
+
+        # sanitize exactly like the engine (±inf from slab clips)
+        cands = [(p, nr, d, bool(v and np.isfinite(d)
+                                 and np.all(np.isfinite(p))
+                                 and np.all(np.isfinite(nr))))
+                 for (p, nr, d, v) in cands]
+
+        # dedup deepest-k (ops/trimesh.py:_dedup_deepest_k): greedy argmax
+        # with near-duplicate suppression, ties to the first index
+        char = r_sph if bt in (SPHERE, CAPSULE) else float(np.min(half))
+        r2 = max(0.25 * char, 1e-4) ** 2
+        keys = np.array([d if v else -math.inf for (_, _, d, v) in cands])
+        pts_arr = np.stack([np.where(v, p, np.zeros(3))
+                            for (p, _, _, v) in cands])
+        for _ in range(k):
+            if np.max(keys) == -math.inf:
+                break
+            j = int(np.argmax(keys))
+            p_j, n_j, d_j, _ = cands[j]
+            rows.append((i, mesh["slot"], p_j, n_j, d_j))
+            near = np.sum((pts_arr - pts_arr[j]) ** 2, -1) < r2
+            keys = np.where(near, -math.inf, keys)
+            keys[j] = -math.inf
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# bilateral joints (engine spec: ops/joints.py — ball + hinge mirrored here;
+# the conformance scenes use those two kinds)
+# ---------------------------------------------------------------------------
+
+J_BALL, J_HINGE = 1, 2
+
+
+def jointset_to_numpy(joints) -> list[dict]:
+    """ops.joints.JointSet (JAX pytree) -> list of referee joint dicts
+    (live slots only, in slot order — the engine emits rows per slot in
+    slot order, and empty slots emit no live rows)."""
+    kind = np.asarray(joints.kind)
+    out = []
+    for j in range(kind.shape[0]):
+        if kind[j] == 0:
+            continue
+        if kind[j] not in (J_BALL, J_HINGE):
+            raise NotImplementedError(
+                "referee mirrors ball and hinge joints only")
+        out.append(dict(
+            kind=int(kind[j]), a=int(joints.a[j]), b=int(joints.b[j]),
+            anchor_a=np.asarray(joints.anchor_a[j], np.float64),
+            anchor_b=np.asarray(joints.anchor_b[j], np.float64),
+            axis_a=np.asarray(joints.axis_a[j], np.float64),
+            axis_b=np.asarray(joints.axis_b[j], np.float64),
+            ref_a=np.asarray(joints.ref_a[j], np.float64),
+            ref_b=np.asarray(joints.ref_b[j], np.float64),
+            lo=float(joints.lo[j]), hi=float(joints.hi[j]),
+            stop_bounce=float(joints.stop_bounce[j]),
+            motor_vel=float(joints.motor_vel[j]),
+            motor_fmax=float(joints.motor_fmax[j]),
+        ))
+    return out
+
+
+def _perp_basis_np(u):
+    """Engine spec ops/joints.py:_perp_basis — deterministic orthonormal
+    (p, q) completing unit axis u; argmin ties resolve to the first axis."""
+    ax = int(np.argmin(np.abs(u)))
+    e = np.zeros(3)
+    e[ax] = 1.0
+    p = np.cross(u, e)
+    p = p / max(np.linalg.norm(p), _EPS)
+    return p, np.cross(u, p)
+
+
+def _hinge_angle_np(w, jd):
+    """Engine spec ops/joints.py:hinge_angle."""
+    ra = quat_to_matrix(w["quat"][jd["a"]])
+    rb = quat_to_matrix(w["quat"][jd["b"]])
+    u = ra @ jd["axis_a"]
+    u = u / max(np.linalg.norm(u), _EPS)
+    pa = ra @ jd["ref_a"]
+    pb = rb @ jd["ref_b"]
+    pa = pa - u * float(pa @ u)
+    pb = pb - u * float(pb @ u)
+    return math.atan2(float(np.cross(pa, pb) @ u), float(pa @ pb))
+
+
+def _joint_rows(w, joints: list[dict], inv_i_world, cfg: RefereeConfig):
+    """Per-step bilateral rows in the engine's emission order: per joint
+    slot, 7 rows — 3 anchor rows (world basis axes), 2 angular rows (hinge:
+    ⊥-pair with axis-misalignment bias; dead for ball), 1 motor row, 1
+    limit row (engine spec ops/joints.py:joint_rows; rows returned live
+    rows only is NOT done — dead rows simply never move, like the engine's
+    ``live`` mask)."""
+    dt = cfg.dt
+    erp_dt = cfg.erp / dt
+    cfm_term = cfg.cfm / dt
+    eye = np.eye(3)
+    rows = []
+    for jd in joints:
+        a, b = jd["a"], jd["b"]
+        is_hinge = jd["kind"] == J_HINGE
+        ra = quat_to_matrix(w["quat"][a])
+        rb = quat_to_matrix(w["quat"][b])
+        pa = w["pos"][a] + ra @ jd["anchor_a"]
+        pb = w["pos"][b] + rb @ jd["anchor_b"]
+        arm_a, arm_b = pa - w["pos"][a], pb - w["pos"][b]
+        axis_w = ra @ jd["axis_a"]
+        axis_w = axis_w / max(np.linalg.norm(axis_w), _EPS)
+        axis_b_w = rb @ jd["axis_b"]
+        p_ax, q_ax = _perp_basis_np(axis_w)
+        err = pa - pb
+        mis = np.cross(axis_b_w, axis_w)
+
+        def mk(n, wa, wb, rhs, live, lob=-math.inf, hib=math.inf):
+            d = (float(n @ n) * (w["inv_mass"][a] + w["inv_mass"][b])
+                 + float(wa @ (inv_i_world[a] @ wa))
+                 + float(wb @ (inv_i_world[b] @ wb)) + cfm_term)
+            return dict(a=a, b=b, n=n, wa=wa, wb=wb, rhs=rhs, live=live,
+                        lob=lob, hib=hib, d=d)
+
+        for i in range(3):                      # anchor rows
+            rows.append(mk(eye[i], np.cross(arm_a, eye[i]),
+                           np.cross(arm_b, eye[i]),
+                           erp_dt * err[i], True))
+        z3 = np.zeros(3)
+        for ax in (p_ax, q_ax):                 # hinge angular pair
+            rows.append(mk(z3, ax, ax, erp_dt * float(mis @ ax), is_hinge))
+        # motor row (dParamVel/dParamFMax; impulse clamp ±fmax·dt)
+        fmax = jd["motor_fmax"]
+        rows.append(mk(z3, axis_w, axis_w, jd["motor_vel"],
+                       is_hinge and fmax > 0.0, -fmax * dt, fmax * dt))
+        # limit row (dParamLoStop/HiStop, one-sided, dParamBounce)
+        ang = _hinge_angle_np(w, jd) if is_hinge else 0.0
+        below, above = ang < jd["lo"], ang > jd["hi"]
+        stop_target = erp_dt * ((jd["lo"] - ang) if below
+                                else (jd["hi"] - ang))
+        coord_vel = float((w["angvel"][b] - w["angvel"][a]) @ axis_w)
+        approaching = (coord_vel < 0.0) if below else (coord_vel > 0.0)
+        bounce_t = (-jd["stop_bounce"] * coord_vel
+                    if (approaching and jd["stop_bounce"] > 0.0
+                        and abs(coord_vel) > cfg.bounce_vel) else 0.0)
+        stop_target = (max(stop_target, bounce_t) if below
+                       else min(stop_target, bounce_t))
+        rows.append(mk(z3, axis_w, axis_w, stop_target,
+                       is_hinge and (below or above),
+                       0.0 if below else -math.inf,
+                       math.inf if below else 0.0))
+    return rows
+
+
+def _joint_pass(w, jrows, jlam, inv_i_world, cfg: RefereeConfig):
+    """One SEQUENTIAL (Gauss-Seidel) SOR pass over all joint rows — each
+    row sees the velocities already updated by every previous row, exactly
+    the engine's ``joint_iteration_seq`` (ops/joints.py) and ODE
+    QuickStep's sweep semantics for bilateral rows. (The engine's batched
+    Jacobi pass is the throughput JACOBI solver's variant and uses a
+    mass-split effective mass; the conformance PGS path mirrored here is
+    sequential.)"""
+    omega = cfg.sor_omega
+    cfm_term = cfg.cfm / cfg.dt
+    for k, rd in enumerate(jrows):
+        a, b = rd["a"], rd["b"]
+        rel = (float((w["linvel"][b] - w["linvel"][a]) @ rd["n"])
+               + float(w["angvel"][b] @ rd["wb"])
+               - float(w["angvel"][a] @ rd["wa"]))
+        dl = omega * (rd["rhs"] - rel - cfm_term * jlam[k]) / rd["d"]
+        new = np.clip(jlam[k] + dl, rd["lob"], rd["hib"])
+        dl = (new - jlam[k]) if rd["live"] else 0.0
+        jlam[k] += dl
+        imp = rd["n"] * dl
+        w["linvel"][a] -= w["inv_mass"][a] * imp
+        w["angvel"][a] -= (inv_i_world[a] @ rd["wa"]) * dl
+        w["linvel"][b] += w["inv_mass"][b] * imp
+        w["angvel"][b] += (inv_i_world[b] @ rd["wb"]) * dl
+
+
+def _connected(joints: list[dict]):
+    return {(jd["a"], jd["b"]) for jd in joints} | \
+           {(jd["b"], jd["a"]) for jd in joints}
+
+
+def referee_step(w: dict, cfg: RefereeConfig, joints: list[dict] = (),
+                 mesh: dict | None = None) -> dict:
     """One 120 Hz substep: collide -> external forces -> PGS -> integrate
-    (the engine's documented pipeline order, core/world.py:step)."""
+    (the engine's documented pipeline order, core/world.py:step).
+
+    ``joints``: ``jointset_to_numpy`` output — bilateral rows solved
+    interleaved with the contact sweeps, one Jacobi joint pass per solver
+    iteration after the contact sweep (engine spec ops/solver.py:282-294);
+    jointed pairs are excluded from collision (``dAreConnected`` exclusion,
+    ops/joints.py:connected_mask). ``mesh``: ``trimesh_to_numpy`` output —
+    static-trimesh contacts appended after the primitive rows
+    (ops/narrowphase.py:1062-1079 ordering)."""
     w = {k: np.copy(v) for k, v in w.items()}
     n = len(w["body_type"])
     dt = cfg.dt
 
-    rows = _contacts(w, cfg)
+    rows = _contacts(w, cfg, exclude=_connected(joints) if joints else None)
+    if mesh is not None:
+        rows += _mesh_contacts(w, mesh, cfg)
 
     # external forces: gravity on dynamic non-kinematic; gyroscopic term
     g = np.asarray(cfg.gravity, np.float64)
@@ -568,10 +1046,14 @@ def referee_step(w: dict, cfg: RefereeConfig) -> dict:
         rowdata.append(dict(a=a, b=b, r_a=r_a, r_b=r_b, n=nrm, t1=t1, t2=t2,
                             d_n=d_n, d_t1=d_t1, d_t2=d_t2, target=target))
 
+    jrows = _joint_rows(w, joints, inv_i_world, cfg) if joints else None
     if cfg.solver == "dantzig":
+        if jrows:
+            raise NotImplementedError(
+                "referee joints mirror the PGS interleaving only")
         _solve_direct(w, rowdata, inv_i_world, cfg)
     else:
-        _solve_pgs(w, rowdata, inv_i_world, cfg)
+        _solve_pgs(w, rowdata, inv_i_world, cfg, jrows=jrows)
 
     # integrate positions (engine spec: ops/integrator.py)
     for i in range(n):
@@ -584,10 +1066,11 @@ def referee_step(w: dict, cfg: RefereeConfig) -> dict:
     return w
 
 
-def _solve_pgs(w, rowdata, inv_i_world, cfg: RefereeConfig):
+def _solve_pgs(w, rowdata, inv_i_world, cfg: RefereeConfig, jrows=None):
     """QuickStep SOR sweeps (engine spec: ops/solver.py:solve_pgs — buffer
     row order, normal then t1 then t2 per row, SOR omega, CFM softening,
-    lambda accumulation)."""
+    lambda accumulation). ``jrows``: bilateral joint rows — one Jacobi
+    joint pass after each contact sweep (ops/solver.py:286-293)."""
     cfm_term = cfg.cfm / cfg.dt
     omega = cfg.sor_omega
     mu_inf = math.isinf(cfg.mu)
@@ -617,6 +1100,7 @@ def _solve_pgs(w, rowdata, inv_i_world, cfg: RefereeConfig):
     rng = (np.random.default_rng(cfg.randomize_rows)
            if cfg.randomize_rows is not None else None)
 
+    jlam = np.zeros(len(jrows)) if jrows else None
     for _ in range(cfg.solver_iterations):
         order = (rng.permutation(len(rowdata)) if rng is not None
                  else range(len(rowdata)))
@@ -646,6 +1130,12 @@ def _solve_pgs(w, rowdata, inv_i_world, cfg: RefereeConfig):
                 dls = new - lam_2[k]
                 lam_2[k] = new
                 apply(rd, rd["t2"], dls)
+
+        if jrows:
+            # interleaved bilateral pass after each contact sweep
+            # (engine spec: ops/solver.py:one_iter — contact scan, then
+            # ONE Jacobi joint pass per solver iteration)
+            _joint_pass(w, jrows, jlam, inv_i_world, cfg)
 
 
 def _solve_direct(w, rowdata, inv_i_world, cfg: RefereeConfig):

@@ -48,10 +48,17 @@ def mini_stack_world(cfg):
 
 
 def build(scene: str, cfg: EngineConfig):
+    """Returns (state, joints, trimesh) — joints/trimesh None when unused."""
     if scene == "sphere_drop":
-        return scenes.sphere_drop_world(cfg, height=2.0)
+        return scenes.sphere_drop_world(cfg, height=2.0), None, None
     if scene == "mini_stack":
-        return mini_stack_world(cfg)
+        return mini_stack_world(cfg), None, None
+    if scene == "hinge_chain":
+        state, joints = scenes.hinge_chain_scene(cfg)
+        return state, joints, None
+    if scene == "ridge_mesh":
+        state, mesh = scenes.ridge_mesh_scene(cfg)
+        return state, None, mesh
     raise SystemExit(f"unknown scene {scene!r}")
 
 
@@ -65,22 +72,36 @@ def main():
         "conformance trajectory run at a non-fidelity precision — build "
         "the config with EngineConfig.conformance() or set "
         "matmul_precision='float32'/'highest' and f32 selectors")
-    w = build(scene, cfg)
+    w, joints, mesh = build(scene, cfg)
     init = state_to_numpy(w)
     assert init["pos"].dtype == np.float64
     assert np.asarray(w.pos).dtype == np.float64, "x64 mode not active"
 
-    stepf = make_step_fn(cfg, substeps=1, donate=False)
+    stepf = make_step_fn(cfg, substeps=1, donate=False,
+                         joints=joints, trimesh=mesh)
     pos_traj, quat_traj = [], []
     for _ in range(steps):
         w = stepf(w)
         pos_traj.append(np.asarray(w.pos))
         quat_traj.append(np.asarray(w.quat))
 
+    aux = {}
+    if joints is not None:
+        # raw JointSet leaves (f64 — built in THIS x64 process) so the
+        # referee consumes bit-identical anchors/axes
+        for k in ("kind", "a", "b", "anchor_a", "anchor_b", "axis_a",
+                  "axis_b", "ref_a", "ref_b", "lo", "hi", "stop_bounce",
+                  "motor_vel", "motor_fmax"):
+            aux[f"jnt_{k}"] = np.asarray(getattr(joints, k))
+    if mesh is not None:
+        for k in ("v0", "e1", "e2", "normal"):
+            aux[f"mesh_{k}"] = np.asarray(getattr(mesh, k), np.float64)
+        aux["mesh_slot"] = np.asarray(int(mesh.slot))
+
     np.savez(
         out_path,
         pos=np.stack(pos_traj), quat=np.stack(quat_traj),
-        **{f"init_{k}": v for k, v in init.items()},
+        **{f"init_{k}": v for k, v in init.items()}, **aux,
     )
     print("ok")
 
