@@ -93,6 +93,22 @@ def _result(config, value, dt, num_worlds, num_bodies, num_dynamic,
     }
 
 
+def _bucket_caps(num_bodies: int):
+    """Typed-bucket pair caps for the bench shapes (audited peaks in the
+    config comment below; BENCH_CAPS='ss,sb,bb' overrides)."""
+    env = os.environ.get("BENCH_CAPS")
+    if env:
+        ss, sb, bb = (int(x) for x in env.split(","))
+    elif num_bodies <= 64:
+        ss, sb, bb = 96, 96, 48
+    elif num_bodies == 512:
+        ss, sb, bb = 512, 640, 768
+    else:
+        ss = sb = 2 * num_bodies
+        bb = num_bodies
+    return ((1, 1, ss), (1, 2, sb), (2, 2, bb))
+
+
 def main():
     from rl_ode_physics_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -101,15 +117,20 @@ def main():
 
     num_worlds = int(os.environ.get("BENCH_WORLDS", 8192))
     num_bodies = int(os.environ.get("BENCH_BODIES", 64))
-    substeps = int(os.environ.get("BENCH_SUBSTEPS", 8))
-    launches = int(os.environ.get("BENCH_STEPS", 12))
+    # 96 substeps per launch (0.8 s of 120 Hz sim per device launch, 3
+    # timed launches): the round-4 sweep at C=64 measured 55.6M @8,
+    # 57.3M @16, 59.7M @32, 60.8M @96, 61.0M @192 substeps/launch —
+    # deeper in-launch scans amortize dispatch; cost is shape-bound
+    # (fixed buffers), so settling depth cannot make the work cheaper.
+    substeps = int(os.environ.get("BENCH_SUBSTEPS", 96))
+    launches = int(os.environ.get("BENCH_STEPS", 3))
     # chunk=256 measured optimal with the round-4 component-major
     # narrowphase (45.5M vs 44.4M @128, 42.6M @512, 30.1M @64 — the CM
     # layout shrank the per-chunk working set, moving the optimum up from
     # the round-3 chunk 128; sweep in docs/BENCHMARKS.md)
     chunk = int(os.environ.get("BENCH_CHUNK", 256))
     solver = SolverKind[os.environ.get("BENCH_SOLVER", "jacobi").upper()]
-    unroll = int(os.environ.get("BENCH_UNROLL", 2))
+    unroll = int(os.environ.get("BENCH_UNROLL", 4))
     if num_worlds <= chunk or num_worlds % chunk:
         chunk = 0
 
@@ -139,15 +160,20 @@ def main():
         max_bodies=num_bodies,
         max_pair_candidates=4 * num_bodies,
         # capacity sized to the MEASURED contact peak of THIS solver
-        # setting with >40% headroom (benchmarks/capacity_audit.py): hb-8
-        # settles stacks tighter than plain-20, so its live-contact peak
-        # is 49-56 across seeds {42,7,123,999} x 500 substeps (vs 87-89
-        # for plain-20 — the parity config below keeps 2N=128 for the same
-        # reason, 44% headroom). Every per-contact matmul/fusion/
-        # compaction cost scales with this capacity; overflow is LOUD
-        # (WorldState.overflow accumulates dropped rows, audit asserts 0).
+        # setting (benchmarks/capacity_audit.py): hb-8 settles stacks
+        # tighter than plain-20, so its live-contact peak is 49-56 across
+        # seeds {42,7,123,999} x 500 substeps (vs 87-89 for plain-20 —
+        # the parity config below keeps 2N=128 for the same reason, 44%
+        # headroom). C=64 puts 2C=128 on an EXACT lane tile: every
+        # (2C, 8) solver plane and (2C, 16) half-operator lands on whole
+        # (8, 128) tiles, measured +21% end-to-end over C=80 (C=72, not
+        # tile-aligned, measured NEUTRAL — it is the alignment, not the
+        # 20% less work). Headroom over the worst audited seed peak (56)
+        # is 14% — audited-thin ships (same policy as the sb bucket cap),
+        # and overflow is LOUD: WorldState.overflow accumulates dropped
+        # rows, the audit asserts 0 on every seed, and _measure raises.
         max_contacts=int(os.environ.get("BENCH_CONTACTS",
-                                        80 if num_bodies == 64
+                                        64 if num_bodies == 64
                                         else 2 * num_bodies)),
         # K=4 with deterministic fold-merge manifolds (no per-pair top-k)
         # halves the contact-compaction sort width; stacking verified stable
@@ -160,7 +186,11 @@ def main():
         # bf16 narrowphase/compaction selectors: numerically identical to
         # f32 at TPU default matmul precision (the MXU rounds f32 operands
         # to bf16 per pass anyway) at half the one-hot HBM bytes
-        selector_dtype=os.environ.get("BENCH_SEL_DTYPE", "bfloat16"),
+        # (bf16 selectors carry body slot ids, exact only to 256 — the
+        # 512-slot run must use f32; EngineConfig.validate enforces it)
+        selector_dtype=os.environ.get(
+            "BENCH_SEL_DTYPE", "bfloat16" if num_bodies <= 256
+            else "float32"),
         # typed-bucket narrowphase: each pair type runs ONLY its kernel
         # at its intrinsic manifold size. Measured per-bucket pair peaks
         # at the shipped hb-8 setting (8 seeds x 500 substeps,
@@ -171,11 +201,15 @@ def main():
         # (96, 112, 44) layout with uniform 26% headroom measured 6%
         # SLOWER at the same M=384, so the thin-but-audited margin ships.
         typed_buckets=os.environ.get("BENCH_TYPED", "1") != "0",
-        # KEEP the flattened manifold width M = 96 + 96 + 48*4 = 384 a
-        # multiple of 128 lanes: a misaligned M (352) measured 3.5% SLOWER
-        # despite less work - lane padding of the (*, M) compaction arrays
-        # eats the savings
-        bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
+        # KEEP the flattened manifold width M = ss + sb + 4*bb a multiple
+        # of 128 lanes: a misaligned M (352) measured 3.5% SLOWER despite
+        # less work - lane padding of the (*, M) compaction arrays eats
+        # the savings. 64-slot default M = 96+96+4*48 = 384; the 512-slot
+        # (reference MAX_BODIES, inc/body.h:6) caps are sized to measured
+        # peaks at that shape (3 seeds x 400 substeps: ss<=416, sb<=512,
+        # bb<=704 pairs) -> (512, 640, 768), M = 4224 = 33*128.
+        # BENCH_CAPS="ss,sb,bb" overrides.
+        bucket_caps=_bucket_caps(num_bodies),
         pallas_compaction=os.environ.get("BENCH_PALLAS_COMPACT", "0") != "0",
         # round-4 component-major narrowphase (pairs-in-lanes); BENCH_CM=0
         # re-measures the row-major layout (the A/B lever)

@@ -17,7 +17,8 @@ behind bench.py's capacity comments):
     plain-20: peak contacts 87-89, bucket pairs ss 75 / sb 72 / bb 31
               -> parity config max_contacts = 128
     hb-8    : peak contacts 49-56, bucket pairs ss 75 / sb 89 / bb 34
-              -> headline max_contacts = 80,
+              -> headline max_contacts = 64 (round 4: 2C = 128 exact lane
+                 tile measured +21%; 14% headroom over the worst seed peak),
                  bucket_caps ss 96 / sb 96 / bb 48 (M = 384 = 3x128)
 
 (overflow 0 on every audited seed). The hb settings settle stacks
@@ -62,7 +63,7 @@ def main(steps: int = 500,
     bcounts = jax.jit(_bucket_counts)
     for label, iters, om, beta, cap in (
             ("parity plain-20", 20, 1.0, 0.0, 128),
-            ("headline hb-8", 8, 1.3, 0.9, 80)):
+            ("headline hb-8", 8, 1.3, 0.9, 64)):
         cfg = EngineConfig(
             solver=SolverKind.JACOBI, solver_iterations=iters,
             jacobi_omega=om, jacobi_beta=beta, max_bodies=64,

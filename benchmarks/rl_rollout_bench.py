@@ -60,7 +60,7 @@ def main():
         max_bodies=num_bodies,
         max_pair_candidates=4 * num_bodies,
         max_contacts=int(os.environ.get(
-            "BENCH_CONTACTS", 80 if num_bodies == 64 else 2 * num_bodies)),
+            "BENCH_CONTACTS", 64 if num_bodies == 64 else 2 * num_bodies)),
         enable_capsules=False, enable_planes=False,
         bucket_caps=((1, 1, 96), (1, 2, 96), (2, 2, 48)),
     )
