@@ -214,6 +214,8 @@ def main():
         # round-4 component-major narrowphase (pairs-in-lanes); BENCH_CM=0
         # re-measures the row-major layout (the A/B lever)
         cm_narrowphase=os.environ.get("BENCH_CM", "1") != "0",
+        # round-4 component-major solver loop A/B (config.solver_cm)
+        solver_cm=os.environ.get("BENCH_SOLVER_CM", "0") != "0",
     )
 
     value, dt, num_dynamic = _measure(

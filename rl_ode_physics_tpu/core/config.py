@@ -133,6 +133,15 @@ class EngineConfig:
     # Same math, f32-roundoff-identical results, slot-major row order
     # within buckets. Off = always row-major (A/B lever).
     cm_narrowphase: bool = True
+    # component-major JACOBI iteration loop: the solver's per-iteration
+    # working set transposed to contacts-in-lanes — J/response planes
+    # (8, 2C) instead of (2C, 8), lambda/d/target as (1, C) instead of
+    # (C, 1), velocity carry (8, N). Gather is (8, N)·(N, 2C), scatter
+    # (8, 2C)·(2C, N) — same MXU B-operand areas, but every elementwise
+    # op in the loop runs on full 128-lane tiles instead of 8/128
+    # (round-4 A/B lever; applies to contact-only solves — with joints,
+    # warm starting, or lambda outputs the row-major loop runs).
+    solver_cm: bool = False
     # contact-payload compaction via the VMEM one-hot Pallas kernel
     # (ops/compaction_pallas.py) on TPU backends — bitwise-identical to the
     # jnp selector-matmul path, minus the HBM round-trip of the (M, C)

@@ -542,6 +542,92 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
     beta = float(config.jacobi_beta)
     momentum = beta != 0.0
     with_joints = joints_rows is not None
+
+    if (config.solver_cm and not with_joints and lam0 is None
+            and not return_lam and not return_joint_lam):
+        # component-major iteration (config.solver_cm docstring): every
+        # loop array holds contacts in LANES. Planes transpose ONCE per
+        # substep; the loop's elementwise ops then run on (1, C)/(8, 2C)
+        # full-lane tiles instead of the row-major (C, 1)/(2C, 8) 8-lane
+        # slivers. Identical math — update order is per-axis batched in
+        # both forms, so results agree to f32 roundoff (summation order
+        # inside the two matmul forms differs).
+        jt_n, kt_n = j_op_n.T, k_op_n.T                    # (8, 2C)
+        if config.friction:
+            jt_1, jt_2 = j_op_1.T, j_op_2.T
+            kt_1, kt_2 = k_op_1.T, k_op_2.T
+        d_n_t, d_t1_t, d_t2_t = d_n.T, d_t1.T, d_t2.T      # (1, C)
+        target_t, live_t = target.T, live.T
+        mu_t = (extras["mu"][None, :] if config.per_body_surface
+                else None)
+        vel_t0 = vel0.T                                    # (8, N)
+
+        def dup(x):                                        # (1, C)→(1, 2C)
+            return jnp.concatenate([x, x], axis=1)
+
+        def one_iter_cm(_, carry):
+            if momentum:
+                vel_t, ln, l1, l2, pn, p1, p2 = carry
+                mn, m1, m2 = (beta * (ln - pn), beta * (l1 - p1),
+                              beta * (l2 - p2))
+                pn, p1, p2 = ln, l1, l2
+            else:
+                vel_t, ln, l1, l2 = carry
+                mn = m1 = m2 = 0.0
+
+            vh_t = jnp.matmul(vel_t.astype(mm_dtype), s_mm_t,
+                              preferred_element_type=f)    # (8, 2C)
+
+            def rel(j_t):
+                r2 = jnp.sum(j_t * vh_t, 0, keepdims=True)  # (1, 2C)
+                return r2[:, :c] + r2[:, c:]                # (1, C)
+
+            dl_n = (omega * (target_t - rel(jt_n) - cfm_term * ln)
+                    / d_n_t + mn)
+            new_n = jnp.maximum(ln + dl_n, 0.0)
+            dl_n = jnp.where(live_t, new_n - ln, 0.0)
+            ln = ln + dl_n
+
+            if config.friction:
+                if config.per_body_surface:
+                    bound = jnp.where(jnp.isinf(mu_t),
+                                      jnp.full_like(ln, jnp.inf),
+                                      mu_t * ln)
+                elif mu_inf:
+                    bound = jnp.full_like(ln, jnp.inf)
+                else:
+                    bound = config.mu * ln
+                dl_1 = (omega * (-rel(jt_1) - cfm_term * l1)
+                        / d_t1_t + m1)
+                new_1 = jnp.clip(l1 + dl_1, -bound, bound)
+                dl_1 = jnp.where(live_t, new_1 - l1, 0.0)
+                l1 = l1 + dl_1
+                dl_2 = (omega * (-rel(jt_2) - cfm_term * l2)
+                        / d_t2_t + m2)
+                new_2 = jnp.clip(l2 + dl_2, -bound, bound)
+                dl_2 = jnp.where(live_t, new_2 - l2, 0.0)
+                l2 = l2 + dl_2
+                contrib = (kt_n * dup(dl_n) + kt_1 * dup(dl_1)
+                           + kt_2 * dup(dl_2))             # (8, 2C)
+            else:
+                contrib = kt_n * dup(dl_n)
+
+            vel_t = vel_t + jnp.matmul(contrib.astype(mm_dtype), s_mm,
+                                       preferred_element_type=f)  # (8, N)
+            out = (vel_t, ln, l1, l2)
+            if momentum:
+                out = out + (pn, p1, p2)
+            return out
+
+        zc = jnp.zeros((1, c), f)
+        carry = (vel_t0, zc, zc, zc)
+        if momentum:
+            carry = carry + (zc, zc, zc)
+        carry = jax.lax.fori_loop(0, config.solver_iterations,
+                                  one_iter_cm, carry)
+        vel8 = carry[0].T
+        return state.replace(linvel=vel8[:, 0:3], angvel=vel8[:, 3:6])
+
     if with_joints:
         from rl_ode_physics_tpu.ops.joints import joint_iteration
 

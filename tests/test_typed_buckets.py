@@ -89,3 +89,37 @@ def test_typed_bucket_cap_override_and_overflow():
     assert int(typed.overflow) >= 0
     s = step(w, cfg)
     assert np.isfinite(np.asarray(s.pos)).all()
+
+
+def test_solver_cm_matches_row_major():
+    """config.solver_cm (component-major JACOBI loop — contacts in lanes)
+    vs the row-major loop on a contact-rich settled bench state: identical
+    math, f32-roundoff agreement (the two matmul forms sum in different
+    orders). The CM loop is an A/B lever kept with a measured NEGATIVE
+    end-to-end result on TPU (60.4M vs 60.9M body-steps/sec, round 4 —
+    the once-per-substep plane transposes cost more than the full-lane
+    elementwise ops save at chunk 256; docs/BENCHMARKS.md)."""
+    import jax
+    from rl_ode_physics_tpu.core.world import make_step_fn
+    from rl_ode_physics_tpu.models import scenes
+    from rl_ode_physics_tpu.ops import integrator as integ
+    from rl_ode_physics_tpu.ops import narrowphase as nph
+    from rl_ode_physics_tpu.ops import solver as sol
+
+    base = EngineConfig.throughput(max_bodies=64, max_pair_candidates=256,
+                                   max_contacts=64)
+    w = scenes.bench_world(base, num_bodies=60)
+    stepf = make_step_fn(base, substeps=12, donate=False)
+    for _ in range(10):
+        w = stepf(w)
+    cont, _ = jax.jit(lambda s: nph.narrowphase_typed(s, base))(w)
+    assert int(cont.count) > 20, "settled state should be contact-rich"
+    w2 = jax.jit(lambda s: integ.apply_external_forces(s, base))(w)
+
+    r_rm = jax.jit(lambda s, c: sol.solve(s, c, base))(w2, cont)
+    r_cm = jax.jit(
+        lambda s, c: sol.solve(s, c, base.replace(solver_cm=True)))(w2, cont)
+    np.testing.assert_allclose(np.asarray(r_rm.linvel),
+                               np.asarray(r_cm.linvel), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_rm.angvel),
+                               np.asarray(r_cm.angvel), atol=2e-5)
