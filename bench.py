@@ -102,7 +102,12 @@ def _bucket_caps(num_bodies: int):
     elif num_bodies <= 64:
         ss, sb, bb = 96, 96, 48
     elif num_bodies == 512:
-        ss, sb, bb = 512, 640, 768
+        # deep-settle peaks (700 substeps x 3 seeds, /tmp probe recorded
+        # in docs/BENCHMARKS.md): ss<=411, sb<=619, bb<=785 — the 512
+        # piles keep densifying far past the 64-slot scene's settling
+        # horizon, so caps cover the FULL default bench schedule (576
+        # substeps) with headroom; M = 512+768+4*896 = 4864 = 38*128
+        ss, sb, bb = 512, 768, 896
     else:
         ss = sb = 2 * num_bodies
         bb = num_bodies
@@ -168,13 +173,17 @@ def main():
         # (2C, 8) solver plane and (2C, 16) half-operator lands on whole
         # (8, 128) tiles, measured +21% end-to-end over C=80 (C=72, not
         # tile-aligned, measured NEUTRAL — it is the alignment, not the
-        # 20% less work). Headroom over the worst audited seed peak (56)
-        # is 14% — audited-thin ships (same policy as the sb bucket cap),
+        # 20% less work). Headroom over the worst audited seed peak (58,
+        # 8 seeds x 500 substeps) is 10% — audited-thin ships (same
+        # policy as the sb bucket cap),
         # and overflow is LOUD: WorldState.overflow accumulates dropped
         # rows, the audit asserts 0 on every seed, and _measure raises.
-        max_contacts=int(os.environ.get("BENCH_CONTACTS",
-                                        64 if num_bodies == 64
-                                        else 2 * num_bodies)),
+        max_contacts=int(os.environ.get(
+            "BENCH_CONTACTS",
+            # 512-slot deep-settle contact peak is 658 (same probe) ->
+            # 768 = 6 lane tiles, 17% headroom
+            64 if num_bodies == 64
+            else 768 if num_bodies == 512 else 2 * num_bodies)),
         # K=4 with deterministic fold-merge manifolds (no per-pair top-k)
         # halves the contact-compaction sort width; stacking verified stable
         max_contacts_per_pair=4,
@@ -216,6 +225,10 @@ def main():
         cm_narrowphase=os.environ.get("BENCH_CM", "1") != "0",
         # round-4 component-major solver loop A/B (config.solver_cm)
         solver_cm=os.environ.get("BENCH_SOLVER_CM", "0") != "0",
+        # round-4 windowed sweep-and-prune pair phase (config.sap_window;
+        # answers SURVEY §7's all-pairs question at the 512-slot
+        # reference capacity — loud window-miss counter, docs/BENCHMARKS)
+        sap_window=int(os.environ.get("BENCH_SAP", 0)),
     )
 
     value, dt, num_dynamic = _measure(

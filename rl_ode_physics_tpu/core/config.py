@@ -142,6 +142,28 @@ class EngineConfig:
     # (round-4 A/B lever; applies to contact-only solves — with joints,
     # warm starting, or lambda outputs the row-major loop runs).
     solver_cm: bool = False
+    # windowed sweep-and-prune pair phase (round 4, the SURVEY §7 "is
+    # all-pairs fine?" answer for the reference's MAX_BODIES=512 shape):
+    # bodies sort by AABB x-min once per substep and each body only
+    # tests the next ``sap_window`` bodies in sorted order, replacing
+    # every O(N²) pair structure (eligibility masks, bucket-compaction
+    # cumsums) with O(N·W). A pair whose x-intervals overlap beyond the
+    # window is COUNTED LOUDLY into WorldState.overflow (conservative:
+    # the count ignores the non-x filters), same policy as the contact
+    # caps — size W to the measured occupancy. 0 = dense all-pairs (the
+    # default; right for <=64 slots where N², at 64², is already small).
+    # Requires the component-major typed-bucket path. Contact (a, b)
+    # roles follow sorted-x order, not slot order — JACOBI-only like the
+    # rest of the typed path; warm-start keys stay slot-based and only
+    # miss on the rare substep where a pair swaps x-order.
+    sap_window: int = 0
+    # SAP broad-body capacity: the ``sap_broad`` bodies with the LARGEST
+    # x-extent (the arena floor/walls — bodies that x-overlap everything
+    # and would blow any window) are taken out of the sort and paired
+    # DENSELY as extra mask columns (N×B) plus a B×B broad-broad block.
+    # Bodies beyond this capacity stay in the window path, where an
+    # oversized extent shows up in the loud window-miss counter.
+    sap_broad: int = 8
     # contact-payload compaction via the VMEM one-hot Pallas kernel
     # (ops/compaction_pallas.py) on TPU backends — bitwise-identical to the
     # jnp selector-matmul path, minus the HBM round-trip of the (M, C)
@@ -315,6 +337,17 @@ class EngineConfig:
                 f"trimesh phase-1 probe stack is 1 (body center) or 3 "
                 f"(center + the two long-axis extremities) — see "
                 f"ops/trimesh.py mesh_narrowphase.")
+        if self.sap_window:
+            if not (self.typed_buckets and self.cm_narrowphase):
+                errors.append(
+                    "sap_window requires the component-major typed-bucket "
+                    "narrowphase (typed_buckets=True, cm_narrowphase=True) "
+                    "— the windowed pair phase is implemented there only.")
+            if self.sap_window >= self.max_bodies:
+                errors.append(
+                    f"sap_window={self.sap_window} >= max_bodies="
+                    f"{self.max_bodies}: the window covers all pairs; use "
+                    f"the dense default (sap_window=0) instead.")
         if errors:
             raise ValueError(
                 "unsupported EngineConfig composition:\n- "

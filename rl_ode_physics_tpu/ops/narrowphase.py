@@ -788,6 +788,12 @@ def narrowphase_typed(state: WorldState, config: EngineConfig,
         if narrowphase_cm.supports_cm(config):
             return narrowphase_cm.narrowphase_typed_cm(
                 state, config, extra, exclude)
+    if config.sap_window:
+        raise ValueError(
+            "sap_window is implemented in the component-major typed path "
+            "only; this config falls back to the row-major narrowphase "
+            "(exact_box_clip or an un-CM-able manifold size) — disable "
+            "sap_window or remove the fallback-forcing option.")
     n = state.num_slots
     ccap = config.max_contacts
     k_glob = config.max_contacts_per_pair

@@ -628,6 +628,103 @@ def supports_cm(config: EngineConfig) -> bool:
 # The component-major typed-bucket narrowphase
 # ---------------------------------------------------------------------------
 
+def _sap_pair_masks(state: WorldState, config: EngineConfig, exclude):
+    """Windowed sweep-and-prune pair phase (``config.sap_window`` doc).
+
+    The ``config.sap_broad`` bodies with the largest x-extent (arena
+    floor/walls — they x-overlap everything, so no window covers them)
+    are taken OUT of the sort and paired densely; every other body sorts
+    by AABB x-min (broad/inactive/trimesh slots key to +inf, sort last,
+    and never enter a window) and pairs only with the next W bodies in
+    sorted order. The mask is (N + B, W + B):
+
+      rows    0..N-1   sorted bodies (window rows)
+      rows    N..N+B-1 broad bodies (live only in the broad-broad block)
+      cols    0..W-1   window offsets: pair (sorted i, sorted i+1+w)
+      cols    W..W+B-1 broad k: pair (sorted i, broad k); on broad row
+                       N+l the same columns hold the l<k broad-broad block
+
+    Everything is O(N·(W+B)) instead of O(N²) — at the reference's
+    512-slot capacity with W=128, B=8 that is a ~3.8× cut of the
+    pair-phase machinery (eligibility, bucket cumsums).
+
+    Returns (feat_perm, hit, tmin, tmax, sap_overflow):
+      feat_perm     (N+B,) mask row / feature column → slot id
+                    (= concat(sorted perm, broad slots))
+      hit/tmin/tmax (N+B, W+B) — the same tests as ``_pair_eligibility``
+                    (AABB overlap, ODE category/collide OR-filter, active,
+                    ≥1 movable, non-mesh, joint exclusion), one entry per
+                    unordered pair
+      sap_overflow  scalar int32 — x-overlapping pairs PAST the window
+                    (conservative: counts pairs the other filters might
+                    have dropped anyway; sorted by x-min, the x-overlaps
+                    of row i are contiguous, so the count is one
+                    searchsorted, no (N, N) structure)
+    """
+    from rl_ode_physics_tpu.ops.broadphase import compute_aabbs
+
+    n = state.num_slots
+    w_cap = int(config.sap_window)
+    b_cap = int(config.sap_broad)
+    aabb = compute_aabbs(state)
+    lo, hi = aabb[..., 0, :], aabb[..., 1, :]
+    eligible = state.active & (state.body_type != BodyType.TRIMESH)
+
+    # broad selection: top-B x-extents among eligible bodies
+    extent = jnp.where(eligible, hi[:, 0] - lo[:, 0], -jnp.inf)
+    _, broad_idx = jax.lax.top_k(extent, b_cap)             # (B,) slot ids
+    is_broad = jnp.zeros((n,), bool).at[broad_idx].set(True) & eligible
+
+    sortable = eligible & ~is_broad
+    keys = jnp.where(sortable, lo[:, 0], jnp.inf)
+    perm = jnp.argsort(keys)                                # (N,) stable
+    keys_s = keys[perm]
+    feat_perm = jnp.concatenate([perm, broad_idx])          # (N+B,)
+
+    lo_f, hi_f = lo[feat_perm], hi[feat_perm]               # (N+B, 3)
+    cat_f, col_f = state.category[feat_perm], state.collide[feat_perm]
+    movable_f = (state.inv_mass > 0)[feat_perm]
+    t_f = state.body_type[feat_perm]
+    act_f = jnp.concatenate([sortable[perm], eligible[broad_idx]])
+
+    # column → feature index table per row: window cols walk the sorted
+    # order, broad cols point at the B appended features
+    i_idx = jnp.arange(n + b_cap)
+    j_win = i_idx[:, None] + 1 + jnp.arange(w_cap)[None, :]  # (N+B, W)
+    win_ok = (j_win < n) & (i_idx[:, None] < n)
+    j_broad = jnp.broadcast_to(n + jnp.arange(b_cap)[None, :],
+                               (n + b_cap, b_cap))
+    # broad-broad block: live only on broad rows, upper-triangular l < k
+    bb_ok = ((i_idx[:, None] >= n)
+             & (j_broad > i_idx[:, None]))                   # (N+B, B)
+    j_idx = jnp.concatenate(
+        [jnp.minimum(j_win, n + b_cap - 1), j_broad], axis=1)  # (N+B, W+B)
+    pair_ok = jnp.concatenate(
+        [win_ok, (i_idx[:, None] < n) | bb_ok], axis=1)
+
+    lo_j, hi_j = lo_f[j_idx], hi_f[j_idx]                   # (N+B, W+B, 3)
+    overlap = jnp.all((lo_f[:, None, :] <= hi_j)
+                      & (lo_j <= hi_f[:, None, :]), axis=-1)
+    mask_ok = (((cat_f[:, None] & col_f[j_idx]) != 0)
+               | ((cat_f[j_idx] & col_f[:, None]) != 0))
+    hit = (overlap & mask_ok & pair_ok
+           & (act_f[:, None] & act_f[j_idx])
+           & (movable_f[:, None] | movable_f[j_idx]))
+    if exclude is not None:
+        hit = hit & ~exclude[feat_perm[:, None], feat_perm[j_idx]]
+    tmin = jnp.minimum(t_f[:, None], t_f[j_idx])
+    tmax = jnp.maximum(t_f[:, None], t_f[j_idx])
+
+    # loud window-miss accounting: js with x-min <= this row's x-max are
+    # contiguous after the sort; anything past the window is a potentially
+    # MISSED pair and must not be silent (same policy as contact caps)
+    i_n = jnp.arange(n)
+    cnt = jnp.searchsorted(keys_s, hi[perm][:, 0], side="right") - i_n - 1
+    cnt = jnp.where(sortable[perm], cnt, 0)
+    sap_overflow = jnp.sum(jnp.maximum(cnt - w_cap, 0)).astype(jnp.int32)
+    return feat_perm, hit, tmin, tmax, sap_overflow
+
+
 def narrowphase_typed_cm(state: WorldState, config: EngineConfig,
                          extra=None, exclude=None):
     """Component-major twin of ops/narrowphase.py:narrowphase_typed.
@@ -654,25 +751,44 @@ def narrowphase_typed_cm(state: WorldState, config: EngineConfig,
             f"keys packed through the f32 payload would silently collide. "
             f"Reduce max_bodies or max_contacts_per_pair.")
 
-    hit, tmin, tmax = _pair_eligibility(state, exclude)
-
     sel_dt = jnp.dtype(config.selector_dtype)
     if sel_dt == jnp.bfloat16 and n > 256:
         raise ValueError(
             "selector_dtype='bfloat16' requires max_bodies <= 256 (body "
             "slot ids ride the selector matmuls and must be bf16-exact)")
 
-    # component-major feature table (11, N): pos ‖ quat ‖ size ‖ type.
-    # One tiny (N, 11) transpose per substep — everything downstream of it
-    # keeps P in lanes.
+    # component-major feature table (12, N): pos ‖ quat ‖ size ‖ type ‖
+    # slot id. One tiny (N, 12) transpose per substep — everything
+    # downstream of it keeps P in lanes. The slot-id row exists for the
+    # SAP path, whose pair indices live in sorted space: the emission
+    # reads the true slot ids back out of the feature gathers (exact in
+    # bf16 selectors for the enforced n <= 256).
+    cols = jnp.arange(n, dtype=jnp.int32)
     feats_t = jnp.concatenate([
         state.pos.T, state.quat.T, state.size.T,
         state.body_type.astype(f)[None, :],
-    ], axis=0).astype(sel_dt)                          # (11, N)
-    cols = jnp.arange(n, dtype=jnp.int32)
+        cols.astype(f)[None, :],
+    ], axis=0).astype(sel_dt)                          # (12, N)
+
+    w_sap = int(config.sap_window)
+    if w_sap:
+        # windowed sweep-and-prune: (N+B, W+B) pair structures in
+        # sorted-row space (window rows ‖ broad rows); features permute
+        # and extend to the SAME space so every downstream one-hot/dot
+        # indexes it directly (config.sap_window doc)
+        feat_perm, hit, tmin, tmax, sap_overflow = _sap_pair_masks(
+            state, config, exclude)
+        feats_t = feats_t[:, feat_perm]                # (12, N+B)
+        r_rows = hit.shape[0]
+        cols = jnp.arange(r_rows, dtype=jnp.int32)
+    else:
+        hit, tmin, tmax = _pair_eligibility(state, exclude)
+        sap_overflow = jnp.zeros((), jnp.int32)
+        r_rows = n
 
     # ---- closed-form bucket pair compaction (see the row-major twin for
-    # the derivation; identical math) ------------------------------------
+    # the derivation; identical math — the column dimension is N slots in
+    # the dense form, W window offsets under SAP) ------------------------
     kernels = list(_enabled_kernels(config).items())
     kernels = [(pair, _CM_KERNELS[pair]) for (pair, _) in kernels]
     caps = [config.bucket_capacity(t1, t2) for (t1, t2), _ in kernels]
@@ -696,7 +812,7 @@ def narrowphase_typed_cm(state: WorldState, config: EngineConfig,
     ia3 = jnp.sum(le3.astype(jnp.int32), axis=-1)            # (G, P)
     roff3 = jnp.sum(le3.astype(f) * rowcnt.astype(f)[:, None, :], axis=-1)
     r_resid3 = c_loc.astype(f)[None, :] - roff3              # in-row rank
-    ia3 = jnp.minimum(ia3, n - 1)
+    ia3 = jnp.minimum(ia3, r_rows - 1)
 
     # transposed one-hots (N, P): the feature dots are (11, N)·(N, P) and
     # the within-cumsum gather is (N, N)·(N, P) — all outputs P-in-lanes.
@@ -717,8 +833,19 @@ def narrowphase_typed_cm(state: WorldState, config: EngineConfig,
                     <= r_resid3[gi][None, :]).astype(jnp.int32), axis=0)
            for gi in range(g)]                                # G × (P,)
     ia3 = jnp.where(bvalid3, ia3, 0)
-    ib3 = [jnp.where(bvalid3[gi], jnp.minimum(ib3[gi], n - 1), 0)
-           for gi in range(g)]
+    if w_sap:
+        # column index → feature index of body b: window columns walk the
+        # sorted order (j = i + 1 + w, always a sorted row), broad columns
+        # point at the B appended broad features
+        ib3 = [jnp.where(
+                   bvalid3[gi],
+                   jnp.where(ib3[gi] < w_sap,
+                             jnp.minimum(ia3[gi] + 1 + ib3[gi], n - 1),
+                             n + (ib3[gi] - w_sap)), 0)
+               for gi in range(g)]
+    else:
+        ib3 = [jnp.where(bvalid3[gi], jnp.minimum(ib3[gi], n - 1), 0)
+               for gi in range(g)]
     oh_b_l = [jax.lax.optimization_barrier(
         (cols[:, None] == ib3[gi][None, :]).astype(sel_dt))
         for gi in range(g)]
@@ -769,8 +896,14 @@ def narrowphase_typed_cm(state: WorldState, config: EngineConfig,
             slots = _fold_slots(slots, _FOLD_PAIRING[(t1, t2)])
         assert len(slots) == k_b, (t1, t2, len(slots), k_b)
 
-        ia_f = ia.astype(f)
-        ib_f = ib.astype(f)
+        if w_sap:
+            # sorted-space indices → true slot ids, read back out of the
+            # permuted feature gathers' slot-id row (exact integers)
+            ia_f = jnp.where(bvalid, fa[11].astype(f), 0.0)
+            ib_f = jnp.where(bvalid, fb[11].astype(f), 0.0)
+        else:
+            ia_f = ia.astype(f)
+            ib_f = ib.astype(f)
         # slot-major emission: slot s of every pair is contiguous. All
         # appends are (cp_b,) planes — the payload assembles with ONE
         # concatenate per component, no transposes anywhere.
@@ -825,6 +958,6 @@ def narrowphase_typed_cm(state: WorldState, config: EngineConfig,
         b=b_out,
         valid=cvalid,
         count=count,
-        overflow=overflow + pair_overflow,
+        overflow=overflow + pair_overflow + sap_overflow,
         key=key,
     ), total_pairs
