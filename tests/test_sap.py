@@ -138,3 +138,28 @@ def test_sap_config_validation():
         EngineConfig(max_bodies=32, max_pair_candidates=256,
                      max_contacts=256, typed_buckets=False,
                      sap_window=8).validate()
+
+
+def test_sap_composes_with_trimesh_extra():
+    """Static-trimesh manifolds enter narrowphase_typed as the ``extra``
+    payload, independent of the pair phase — SAP must compose: same mesh
+    contact rows, same primitive pairs, zero overflow."""
+    from rl_ode_physics_tpu.models.scenes import ridge_mesh_scene
+
+    cfg_d = EngineConfig(max_bodies=16, max_pair_candidates=128,
+                         max_contacts=128, typed_buckets=True,
+                         cm_narrowphase=True, max_contacts_per_pair=4,
+                         selector_dtype="float32")
+    cfg_s = cfg_d.replace(sap_window=6, sap_broad=2)
+    state, mesh = ridge_mesh_scene(cfg_d)
+    step_d = make_step_fn(cfg_d, substeps=1, donate=False, trimesh=mesh,
+                          use_pallas=False)
+    step_s = make_step_fn(cfg_s, substeps=1, donate=False, trimesh=mesh,
+                          use_pallas=False)
+    w_d, w_s = state, state
+    for _ in range(40):
+        w_d = step_d(w_d)
+        w_s = step_s(w_s)
+    assert int(np.asarray(w_s.overflow)) == 0
+    np.testing.assert_allclose(np.asarray(w_d.pos), np.asarray(w_s.pos),
+                               atol=5e-3)
