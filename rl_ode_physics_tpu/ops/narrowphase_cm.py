@@ -687,39 +687,90 @@ def _sap_pair_masks(state: WorldState, config: EngineConfig, exclude):
     t_f = state.body_type[feat_perm]
     act_f = jnp.concatenate([sortable[perm], eligible[broad_idx]])
 
-    # column → feature index table per row: window cols walk the sorted
-    # order, broad cols point at the B appended features
+    # ---- window block, GATHER-FREE (this is the lowering that made SAP
+    # lose ~1.6x inside the chunked scan when written as an (N+B, W+B)
+    # index-table gather — docs/BENCHMARKS.md): the window column j of
+    # row i is the UNIFORM row shift j = i + 1 + w, so column w of every
+    # banded feature table is one static slice [1+w : 1+w+N) of the sorted
+    # feature matrix. W static slices + one stack per dtype stack replace
+    # every 2-D gather; under lax.scan they lower to plain copies that
+    # fuse into the compares. -----------------------------------------
+    f32 = lo.dtype
+    # float stack (N+W, 6): lo ‖ hi of the sorted rows, W dummy rows
+    xf = jnp.pad(jnp.concatenate([lo_f[:n], hi_f[:n]], axis=1),
+                 ((0, w_cap), (0, 0)))
+    # int stack (N+W, 5): cat ‖ col ‖ type ‖ active ‖ movable (bitmasks
+    # must NOT ride f32 — CollMask.ALL = 2^32-1 is not f32-exact)
+    xi = jnp.pad(jnp.stack([
+        cat_f[:n].astype(jnp.int32), col_f[:n].astype(jnp.int32),
+        t_f[:n].astype(jnp.int32), act_f[:n].astype(jnp.int32),
+        movable_f[:n].astype(jnp.int32)], axis=1), ((0, w_cap), (0, 0)))
+    bf = jnp.stack([jax.lax.slice_in_dim(xf, 1 + w, 1 + w + n, axis=0)
+                    for w in range(w_cap)], axis=1)          # (N, W, 6)
+    bi = jnp.stack([jax.lax.slice_in_dim(xi, 1 + w, 1 + w + n, axis=0)
+                    for w in range(w_cap)], axis=1)          # (N, W, 5)
+    lo_jw, hi_jw = bf[..., 0:3], bf[..., 3:6]
+    cat_jw, col_jw, t_jw = bi[..., 0], bi[..., 1], bi[..., 2]
+    act_jw, mov_jw = bi[..., 3].astype(bool), bi[..., 4].astype(bool)
+
+    i_n = jnp.arange(n)
+    win_ok = (i_n[:, None] + 1 + jnp.arange(w_cap)[None, :]) < n  # (N, W)
+    overlap_w = jnp.all((lo_f[:n, None, :] <= hi_jw)
+                        & (lo_jw <= hi_f[:n, None, :]), axis=-1)
+    cat_i = cat_f[:n].astype(jnp.int32)
+    col_i = col_f[:n].astype(jnp.int32)
+    mask_ok_w = (((cat_i[:, None] & col_jw) != 0)
+                 | ((cat_jw & col_i[:, None]) != 0))
+    hit_w = (overlap_w & mask_ok_w & win_ok
+             & (act_f[:n, None] & act_jw)
+             & (movable_f[:n, None] | mov_jw))
+    t_n = t_f[:n].astype(jnp.int32)
+    tmin_w = jnp.minimum(t_n[:, None], t_jw)
+    tmax_w = jnp.maximum(t_n[:, None], t_jw)
+
+    # ---- broad columns: j points at the B APPENDED features — a static
+    # slice [n:), broadcast against every row ---------------------------
     i_idx = jnp.arange(n + b_cap)
-    j_win = i_idx[:, None] + 1 + jnp.arange(w_cap)[None, :]  # (N+B, W)
-    win_ok = (j_win < n) & (i_idx[:, None] < n)
-    j_broad = jnp.broadcast_to(n + jnp.arange(b_cap)[None, :],
-                               (n + b_cap, b_cap))
+    lo_b, hi_b = lo_f[n:], hi_f[n:]                          # (B, 3)
     # broad-broad block: live only on broad rows, upper-triangular l < k
     bb_ok = ((i_idx[:, None] >= n)
-             & (j_broad > i_idx[:, None]))                   # (N+B, B)
-    j_idx = jnp.concatenate(
-        [jnp.minimum(j_win, n + b_cap - 1), j_broad], axis=1)  # (N+B, W+B)
-    pair_ok = jnp.concatenate(
-        [win_ok, (i_idx[:, None] < n) | bb_ok], axis=1)
+             & ((n + jnp.arange(b_cap))[None, :] > i_idx[:, None]))
+    pair_ok_b = (i_idx[:, None] < n) | bb_ok                 # (N+B, B)
+    overlap_b = jnp.all((lo_f[:, None, :] <= hi_b[None])
+                        & (lo_b[None] <= hi_f[:, None, :]), axis=-1)
+    mask_ok_b = (((cat_f[:, None] & col_f[None, n:]) != 0)
+                 | ((cat_f[None, n:] & col_f[:, None]) != 0))
+    hit_b = (overlap_b & mask_ok_b & pair_ok_b
+             & (act_f[:, None] & act_f[None, n:])
+             & (movable_f[:, None] | movable_f[None, n:]))
+    t_i = t_f.astype(jnp.int32)
+    tmin_b = jnp.minimum(t_i[:, None], t_i[None, n:])
+    tmax_b = jnp.maximum(t_i[:, None], t_i[None, n:])
 
-    lo_j, hi_j = lo_f[j_idx], hi_f[j_idx]                   # (N+B, W+B, 3)
-    overlap = jnp.all((lo_f[:, None, :] <= hi_j)
-                      & (lo_j <= hi_f[:, None, :]), axis=-1)
-    mask_ok = (((cat_f[:, None] & col_f[j_idx]) != 0)
-               | ((cat_f[j_idx] & col_f[:, None]) != 0))
-    hit = (overlap & mask_ok & pair_ok
-           & (act_f[:, None] & act_f[j_idx])
-           & (movable_f[:, None] | movable_f[j_idx]))
     if exclude is not None:
-        hit = hit & ~exclude[feat_perm[:, None], feat_perm[j_idx]]
-    tmin = jnp.minimum(t_f[:, None], t_f[j_idx])
-    tmax = jnp.maximum(t_f[:, None], t_f[j_idx])
+        ex_p = exclude[feat_perm][:, feat_perm]              # (N+B, N+B)
+        # window exclusion band ex_p[i, i+1+w] via the pad/reshape skew
+        # (row i of the reshape is row i of ex_p left-shifted by i):
+        # gather-free like the feature bands above
+        ex_s = ex_p[:n, :n]
+        skew = jnp.concatenate(
+            [ex_s.reshape(-1), jnp.zeros((n,), ex_s.dtype)]).reshape(
+                n, n + 1)                                    # [i, j]=ex[i, i+j]
+        hit_w = hit_w & ~skew[:, 1:1 + w_cap]
+        hit_b = hit_b & ~ex_p[:, n:]
+
+    pad_rows = ((0, b_cap), (0, 0))
+    hit = jnp.concatenate(
+        [jnp.pad(hit_w, pad_rows), hit_b], axis=1)           # (N+B, W+B)
+    tmin = jnp.concatenate([jnp.pad(tmin_w, pad_rows), tmin_b], axis=1)
+    tmax = jnp.concatenate([jnp.pad(tmax_w, pad_rows), tmax_b], axis=1)
 
     # loud window-miss accounting: js with x-min <= this row's x-max are
     # contiguous after the sort; anything past the window is a potentially
-    # MISSED pair and must not be silent (same policy as contact caps)
-    i_n = jnp.arange(n)
-    cnt = jnp.searchsorted(keys_s, hi[perm][:, 0], side="right") - i_n - 1
+    # MISSED pair and must not be silent (same policy as contact caps).
+    # Dense (N, N) compare-sum instead of searchsorted — same count,
+    # no binary-search gathers under the scan.
+    cnt = jnp.sum((keys_s[None, :] <= hi_f[:n, 0:1]), axis=1) - i_n - 1
     cnt = jnp.where(sortable[perm], cnt, 0)
     sap_overflow = jnp.sum(jnp.maximum(cnt - w_cap, 0)).astype(jnp.int32)
     return feat_perm, hit, tmin, tmax, sap_overflow
