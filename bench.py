@@ -114,30 +114,17 @@ def _bucket_caps(num_bodies: int):
     return ((1, 1, ss), (1, 2, sb), (2, 2, bb))
 
 
-def main():
-    from rl_ode_physics_tpu.utils.cache import enable_persistent_cache
-    enable_persistent_cache()
+def bench_config(num_bodies: int, parity: bool = False):
+    """The exact config bench runs for this shape (env overrides apply).
 
+    Shared with ``benchmarks/capacity_audit.py`` — the audit signs off
+    the capacity signature of THIS resolved config, and ``main`` refuses
+    non-default shapes whose signature has no sign-off (round-5 VERDICT
+    item 7). ``parity=True`` returns the ODE-parity plain-20 variant.
+    """
     from rl_ode_physics_tpu.core.config import EngineConfig, SolverKind
 
-    num_worlds = int(os.environ.get("BENCH_WORLDS", 8192))
-    num_bodies = int(os.environ.get("BENCH_BODIES", 64))
-    # 96 substeps per launch (0.8 s of 120 Hz sim per device launch, 3
-    # timed launches): the round-4 sweep at C=64 measured 55.6M @8,
-    # 57.3M @16, 59.7M @32, 60.8M @96, 61.0M @192 substeps/launch —
-    # deeper in-launch scans amortize dispatch; cost is shape-bound
-    # (fixed buffers), so settling depth cannot make the work cheaper.
-    substeps = int(os.environ.get("BENCH_SUBSTEPS", 96))
-    launches = int(os.environ.get("BENCH_STEPS", 3))
-    # chunk=256 measured optimal with the round-4 component-major
-    # narrowphase (45.5M vs 44.4M @128, 42.6M @512, 30.1M @64 — the CM
-    # layout shrank the per-chunk working set, moving the optimum up from
-    # the round-3 chunk 128; sweep in docs/BENCHMARKS.md)
-    chunk = int(os.environ.get("BENCH_CHUNK", 256))
     solver = SolverKind[os.environ.get("BENCH_SOLVER", "jacobi").upper()]
-    unroll = int(os.environ.get("BENCH_UNROLL", 4))
-    if num_worlds <= chunk or num_worlds % chunk:
-        chunk = 0
 
     # base: the SHIPPED throughput policy (EngineConfig.throughput — the
     # single source of truth for solver/numerics; the conformance suite
@@ -230,6 +217,83 @@ def main():
         # reference capacity — loud window-miss counter, docs/BENCHMARKS)
         sap_window=int(os.environ.get("BENCH_SAP", 0)),
     )
+    if parity:
+        # ODE QuickStep parity setting: plain Jacobi omega=1, beta=0, 20
+        # iterations; plain-20 peaks at 87-89 live contacts at 64 slots
+        # (44% headroom at 2N=128; 80 would drop)
+        config = config.replace(
+            solver_iterations=20, jacobi_omega=1.0, jacobi_beta=0.0,
+            max_contacts=2 * num_bodies)
+    return config
+
+
+def require_audit(config, num_bodies: int, total_substeps: int):
+    """Refuse unaudited capacity configurations at non-default shapes.
+
+    The round-4 incident: a 512-slot run with under-sized caps produced
+    a bogus 5.4M headline, caught only when the schedule deepened and
+    the overflow counter fired. Contact/pair peaks DEEPEN with schedule
+    (piles densify), so a valid sign-off must (a) exist for this exact
+    capacity signature and (b) have audited at least as many substeps as
+    the bench is about to run. BENCH_ALLOW_UNAUDITED=1 bypasses for
+    exploratory sweeps — the overflow counter still hard-fails on drops.
+    """
+    if num_bodies == 64:
+        return  # the default shape: inline-audited (docstrings above)
+    if os.environ.get("BENCH_ALLOW_UNAUDITED") == "1":
+        print("# WARNING: BENCH_ALLOW_UNAUDITED=1 — capacity signature "
+              "not checked; overflow counter is the only guard",
+              file=sys.stderr)
+        return
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    from capacity_audit import capacity_signature, load_registry
+    sig = capacity_signature(config, num_bodies)
+    entry = load_registry().get(sig)
+    if entry is None:
+        raise RuntimeError(
+            f"UNAUDITED capacity configuration: no sign-off for\n  {sig}\n"
+            f"in benchmarks/audited_capacities.json. Run\n  python "
+            f"benchmarks/capacity_audit.py --bodies {num_bodies} "
+            f"--steps {max(total_substeps, 500)} --sign\n(or set "
+            f"BENCH_ALLOW_UNAUDITED=1 for an exploratory sweep).")
+    if entry["steps"] < total_substeps:
+        raise RuntimeError(
+            f"audit horizon too shallow for this schedule: signed off at "
+            f"{entry['steps']} substeps, bench runs {total_substeps} "
+            f"(peaks deepen as piles densify). Re-run capacity_audit.py "
+            f"--bodies {num_bodies} --steps {total_substeps} --sign.")
+
+
+def main():
+    from rl_ode_physics_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    from rl_ode_physics_tpu.core.config import SolverKind
+
+    num_worlds = int(os.environ.get("BENCH_WORLDS", 8192))
+    num_bodies = int(os.environ.get("BENCH_BODIES", 64))
+    # 96 substeps per launch (0.8 s of 120 Hz sim per device launch, 3
+    # timed launches): the round-4 sweep at C=64 measured 55.6M @8,
+    # 57.3M @16, 59.7M @32, 60.8M @96, 61.0M @192 substeps/launch —
+    # deeper in-launch scans amortize dispatch; cost is shape-bound
+    # (fixed buffers), so settling depth cannot make the work cheaper.
+    substeps = int(os.environ.get("BENCH_SUBSTEPS", 96))
+    launches = int(os.environ.get("BENCH_STEPS", 3))
+    # chunk=256 measured optimal with the round-4 component-major
+    # narrowphase (45.5M vs 44.4M @128, 42.6M @512, 30.1M @64 — the CM
+    # layout shrank the per-chunk working set, moving the optimum up from
+    # the round-3 chunk 128; sweep in docs/BENCHMARKS.md)
+    chunk = int(os.environ.get("BENCH_CHUNK", 256))
+    unroll = int(os.environ.get("BENCH_UNROLL", 4))
+    if num_worlds <= chunk or num_worlds % chunk:
+        chunk = 0
+
+    config = bench_config(num_bodies)
+    solver = config.solver
+    # warmup (3 launches) + timed launches all count toward the audited
+    # horizon — peaks deepen monotonically with settling depth
+    require_audit(config, num_bodies, (launches + 3) * substeps)
 
     value, dt, num_dynamic = _measure(
         config, num_worlds, num_bodies, substeps, launches, chunk, unroll)
@@ -258,11 +322,8 @@ def main():
     # (QuickStep's default budget) on the SAME workload — stderr, labeled.
     if (os.environ.get("BENCH_PARITY", "1") != "0"
             and solver is SolverKind.JACOBI):
-        parity_cfg = config.replace(solver_iterations=20, jacobi_omega=1.0,
-                                    jacobi_beta=0.0,
-                                    # plain-20 peaks at 87-89 live contacts
-                                    # (44% headroom at 128; 80 would drop)
-                                    max_contacts=2 * num_bodies)
+        parity_cfg = bench_config(num_bodies, parity=True)
+        require_audit(parity_cfg, num_bodies, (launches + 3) * substeps)
         p_value, p_dt, _ = _measure(parity_cfg, num_worlds, num_bodies,
                                     substeps, launches, chunk, unroll)
         p = _result(parity_cfg, p_value, p_dt, num_worlds, num_bodies,

@@ -26,8 +26,13 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def main(steps: int = 1000, precision: str = "default"):
+def main(steps: int = 1000, precision: str = "default",
+         platform: str = ""):
     import jax
+    if platform:
+        # the environment force-registers the axon TPU platform over the
+        # JAX_PLATFORMS env var; only jax.config wins (tests/conftest.py)
+        jax.config.update("jax_platforms", platform)
     import numpy as np
 
     from rl_ode_physics_tpu.core.config import EngineConfig
@@ -100,4 +105,5 @@ def main(steps: int = 1000, precision: str = "default"):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 1000,
-         sys.argv[2] if len(sys.argv) > 2 else "default")
+         sys.argv[2] if len(sys.argv) > 2 else "default",
+         sys.argv[3] if len(sys.argv) > 3 else "")

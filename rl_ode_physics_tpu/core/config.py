@@ -300,19 +300,6 @@ class EngineConfig:
         as a mid-trace surprise. Returns self so call sites can chain.
         """
         errors = []
-        if self.solver is SolverKind.DANTZIG:
-            if self.friction and not math.isinf(self.mu):
-                errors.append(
-                    "DANTZIG + finite mu: the direct LCP solves the mu=inf "
-                    "surface (bilateral friction rows, the reference's "
-                    "setting, src/main.c:687); boxed-friction pivoting is "
-                    "not implemented. Use PGS/JACOBI, mu=math.inf, or "
-                    "friction=False.")
-            if self.per_body_surface:
-                errors.append(
-                    "DANTZIG + per_body_surface: per-row friction bounds "
-                    "are not plumbed into the direct solve. Use JACOBI or "
-                    "PGS.")
         if (jnp_dtype_is_bf16(self.selector_dtype)
                 and self.max_bodies > 256):
             errors.append(

@@ -658,8 +658,9 @@ def _sap_pair_masks(state: WorldState, config: EngineConfig, exclude):
       sap_overflow  scalar int32 — x-overlapping pairs PAST the window
                     (conservative: counts pairs the other filters might
                     have dropped anyway; sorted by x-min, the x-overlaps
-                    of row i are contiguous, so the count is one
-                    searchsorted, no (N, N) structure)
+                    of row i are contiguous, so the count is a dense
+                    (N, N) compare-sum — gather-free under the scan,
+                    unlike the searchsorted it replaced)
     """
     from rl_ode_physics_tpu.ops.broadphase import compute_aabbs
 
@@ -695,7 +696,6 @@ def _sap_pair_masks(state: WorldState, config: EngineConfig, exclude):
     # feature matrix. W static slices + one stack per dtype stack replace
     # every 2-D gather; under lax.scan they lower to plain copies that
     # fuse into the compares. -----------------------------------------
-    f32 = lo.dtype
     # float stack (N+W, 6): lo ‖ hi of the sorted rows, W dummy rows
     xf = jnp.pad(jnp.concatenate([lo_f[:n], hi_f[:n]], axis=1),
                  ((0, w_cap), (0, 0)))

@@ -734,10 +734,6 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
 
 def solve(state: WorldState, contacts: Contacts,
           config: EngineConfig, joints_rows=None) -> WorldState:
-    if config.per_body_surface and config.solver is SolverKind.DANTZIG:
-        raise ValueError(
-            "per_body_surface is not supported by the DANTZIG direct "
-            "solver; use JACOBI or PGS")
     if config.solver is SolverKind.PGS:
         return solve_pgs(state, contacts, config, joints_rows=joints_rows)
     if config.solver is SolverKind.DANTZIG:

@@ -21,12 +21,6 @@ from rl_ode_physics_tpu.models import scenes
 SMALL = dict(max_bodies=8, max_pair_candidates=32, max_contacts=32)
 
 
-def test_dantzig_finite_mu_errors_at_config_time():
-    cfg = EngineConfig(solver=SolverKind.DANTZIG, mu=1.0, **SMALL)
-    with pytest.raises(ValueError, match="DANTZIG .* finite mu"):
-        make_step_fn(cfg, donate=False)
-
-
 def test_dantzig_finite_mu_ok_without_friction():
     cfg = EngineConfig(solver=SolverKind.DANTZIG, mu=1.0, friction=False,
                        **SMALL)
@@ -35,11 +29,16 @@ def test_dantzig_finite_mu_ok_without_friction():
     assert np.isfinite(np.asarray(w.pos)).all()
 
 
-def test_dantzig_per_body_surface_errors_at_config_time():
+def test_dantzig_per_body_surface_steps():
+    """Round-5 capability close-out: per_body_surface under DANTZIG is a
+    WORKS cell (boxed rows take the pair-mixed per-row mu, ops/lcp.py)."""
     cfg = EngineConfig(solver=SolverKind.DANTZIG, per_body_surface=True,
                        **SMALL)
-    with pytest.raises(ValueError, match="per_body_surface"):
-        make_step_fn(cfg, donate=False)
+    w = scenes.sphere_drop_world(cfg, height=1.0)
+    stepf = make_step_fn(cfg, donate=False)
+    for _ in range(5):
+        w = stepf(w)
+    assert np.isfinite(np.asarray(w.pos)).all()
 
 
 def test_bf16_selectors_capped_at_256_bodies():
@@ -70,10 +69,12 @@ def test_warmstart_rejects_dantzig():
         make_warm_step_fn(cfg)
 
 
-@pytest.mark.parametrize("solver", [SolverKind.JACOBI, SolverKind.PGS])
+@pytest.mark.parametrize("solver", [SolverKind.JACOBI, SolverKind.PGS,
+                                    SolverKind.DANTZIG])
 def test_finite_mu_iterative_solvers_step(solver):
-    """Finite μ is a WORKS cell for the iterative solvers: a sliding box on
-    the floor decelerates under the pyramid bound but does not stop dead
+    """Finite μ is a WORKS cell for EVERY solver (round 5 closed the
+    DANTZIG hole with boxed-row pivoting): a sliding box on the floor
+    decelerates under the pyramid bound but does not stop dead
     (μ=0.3 < the stiction needed at this speed)."""
     from rl_ode_physics_tpu.core.state import BodyType
     from rl_ode_physics_tpu.models.builder import WorldBuilder
@@ -127,7 +128,8 @@ def test_conformance_profile_is_fidelity_grade():
     # profiles validate at construction: impossible compositions raise
     import pytest
     with pytest.raises(ValueError):
-        EngineConfig.conformance(solver=SolverKind.DANTZIG, mu=1.0)
+        EngineConfig.conformance(selector_dtype="bfloat16", max_bodies=512,
+                                 max_pair_candidates=1024, max_contacts=512)
 
 
 def test_profiles_step(tiny_world_factory=None):
