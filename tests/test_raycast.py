@@ -10,6 +10,7 @@ from rl_ode_physics_tpu.core.state import BodyType
 from rl_ode_physics_tpu.models.builder import WorldBuilder
 from rl_ode_physics_tpu.ops import raycast as rc
 from rl_ode_physics_tpu.ops import trimesh as tm
+import pytest
 
 CFG = EngineConfig(max_bodies=8, max_pair_candidates=32, max_contacts=32,
                    enable_capsules=True)
@@ -106,6 +107,7 @@ def test_raycast_under_jit_vmap():
     np.testing.assert_allclose(np.asarray(hits.t), 4.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_env_lidar_channel():
     """PhysicsEnv with a lidar fan: the observation gains (B, A, R)
     normalized distances that see the floor below the actor."""
