@@ -237,9 +237,13 @@ def require_audit(config, num_bodies: int, total_substeps: int):
     capacity signature and (b) have audited at least as many substeps as
     the bench is about to run. BENCH_ALLOW_UNAUDITED=1 bypasses for
     exploratory sweeps — the overflow counter still hard-fails on drops.
+
+    This applies to the DEFAULT shape too: the round-5 on-chip audit
+    found the 64-slot hb-8 bb bucket cap (48) exceeded (peak 53, 21
+    dropped rows) by substep ~700 on seed 123 — PAST the bench's own
+    576-substep schedule, so the 64-slot sign-off is recorded at a
+    600-substep horizon and deeper schedules refuse until re-audited.
     """
-    if num_bodies == 64:
-        return  # the default shape: inline-audited (docstrings above)
     if os.environ.get("BENCH_ALLOW_UNAUDITED") == "1":
         print("# WARNING: BENCH_ALLOW_UNAUDITED=1 — capacity signature "
               "not checked; overflow counter is the only guard",
@@ -291,6 +295,21 @@ def main():
 
     config = bench_config(num_bodies)
     solver = config.solver
+
+    # BENCH_ONLY=parity: measure ONLY the ODE-parity line (for parity
+    # tuning sweeps — the headline run would double every experiment's
+    # chip time). The parity JSON goes to stdout in this mode.
+    if os.environ.get("BENCH_ONLY") == "parity":
+        parity_cfg = bench_config(num_bodies, parity=True)
+        require_audit(parity_cfg, num_bodies, (launches + 3) * substeps)
+        p_value, p_dt, num_dynamic = _measure(
+            parity_cfg, num_worlds, num_bodies, substeps, launches, chunk,
+            unroll)
+        print(json.dumps(_result(
+            parity_cfg, p_value, p_dt, num_worlds, num_bodies, num_dynamic,
+            launches * substeps, note="; ODE QuickStep parity setting")))
+        return
+
     # warmup (3 launches) + timed launches all count toward the audited
     # horizon — peaks deepen monotonically with settling depth
     require_audit(config, num_bodies, (launches + 3) * substeps)

@@ -624,7 +624,9 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
         if momentum:
             carry = carry + (zc, zc, zc)
         carry = jax.lax.fori_loop(0, config.solver_iterations,
-                                  one_iter_cm, carry)
+                                  one_iter_cm, carry,
+                                  unroll=config.solver_loop_unroll
+                                  if config.solver_loop_unroll > 1 else None)
         vel8 = carry[0].T
         return state.replace(linvel=vel8[:, 0:3], angvel=vel8[:, 3:6])
 
@@ -720,7 +722,9 @@ def solve_jacobi(state: WorldState, contacts: Contacts,
     if with_joints:
         carry = carry + (jnp.zeros_like(joints_rows["rhs"]),)
     out_carry = jax.lax.fori_loop(
-        0, config.solver_iterations, one_iter, carry
+        0, config.solver_iterations, one_iter, carry,
+        unroll=config.solver_loop_unroll
+        if config.solver_loop_unroll > 1 else None,
     )
     vel8, lam_n, lam_t1, lam_t2 = out_carry[:4]
     jlam_out = out_carry[-1] if with_joints else None

@@ -132,6 +132,7 @@ def test_conformance_profile_is_fidelity_grade():
                                  max_pair_candidates=1024, max_contacts=512)
 
 
+@pytest.mark.slow
 def test_profiles_step(tiny_world_factory=None):
     """Both profiles actually step a world (no mid-trace surprises)."""
     import jax.numpy as jnp

@@ -74,6 +74,7 @@ def test_ballistic_with_initial_velocity_matches_mujoco():
                            atol=1e-4), k
 
 
+@pytest.mark.slow
 def test_resting_height_on_plane_geom():
     """Sphere on an infinite plane settles at exactly r (both solvers)."""
     for solver in (SolverKind.JACOBI, SolverKind.PGS):

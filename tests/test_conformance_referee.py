@@ -27,6 +27,10 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 STEPS = 1000
 TOL = 1e-5
 
+# every test here runs 1k-step scalar-referee trajectories (minutes each):
+# slow tier — deselected by default, run with `pytest -m ""` (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _aux_joints(aux: dict):
     """npz ``jnt_*`` leaves (raw f64 JointSet arrays dumped by
@@ -287,6 +291,9 @@ def test_throughput_config_trajectory():
           f"omega={tcfg.jacobi_omega} beta={tcfg.jacobi_beta} typed K=4 "
           f"vs f64 PGS-20 referee)")
     # different solver family + f32: trajectory-level agreement is loose
-    # (quoted in docs/CONFORMANCE.md), but the physics contract holds
-    assert err <= 0.2, f"throughput-config divergence {err:.3e}"
-    assert late <= 0.02, f"steady-state resting heights diverge {late:.3e}"
+    # (quoted in docs/CONFORMANCE.md), but the physics contract holds.
+    # Bounds are ~2x the round-5 hb-8 measurement (4.85e-2 / 6.6e-3) so a
+    # shipped-path regression of that size fails here (VERDICT-r4: the old
+    # 0.2 bound had 7x slack against the measurement)
+    assert err <= 0.1, f"throughput-config divergence {err:.3e}"
+    assert late <= 0.015, f"steady-state resting heights diverge {late:.3e}"

@@ -9,6 +9,7 @@ from rl_ode_physics_tpu.core.config import EngineConfig
 from rl_ode_physics_tpu.core.state import BodyType
 from rl_ode_physics_tpu.models import scenes
 from rl_ode_physics_tpu.models.env import PhysicsEnv, observe
+import pytest
 
 CFG = EngineConfig(max_bodies=8, max_pair_candidates=32, max_contacts=64)
 
@@ -45,6 +46,7 @@ def test_action_force_lifts_sphere():
     assert float(state2.linvel[0, 4, 1]) < 0.0
 
 
+@pytest.mark.slow
 def test_rollout_scan():
     env = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=3, substeps=2)
     state, _ = env.reset()
@@ -79,6 +81,7 @@ def test_spawn_inside_jit():
     assert int(slot) == -1
 
 
+@pytest.mark.slow
 def test_chunked_env_matches_unchunked():
     """chunk=2 over 4 worlds must produce bitwise-identical states to the
     unchunked vmap (identical per-world program, different batching)."""
@@ -97,6 +100,7 @@ def test_chunked_env_matches_unchunked():
     assert np.array_equal(np.asarray(o_u), np.asarray(o_c))
 
 
+@pytest.mark.slow
 def test_chunked_rollout_matches_unchunked():
     """rollout's chunk-major order (lax.map over world chunks, each
     scanning the full horizon) must be bitwise-identical to the
@@ -117,6 +121,7 @@ def test_chunked_rollout_matches_unchunked():
     assert np.array_equal(np.asarray(traj_u), np.asarray(traj_c))
 
 
+@pytest.mark.slow
 def test_obs_slots_selects_actor_rows():
     env_all = PhysicsEnv(CFG, _scene, actor_slots=[4], num_worlds=2,
                          substeps=2)

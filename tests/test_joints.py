@@ -15,6 +15,7 @@ from rl_ode_physics_tpu.core.world import make_step_fn
 from rl_ode_physics_tpu.models.builder import WorldBuilder
 from rl_ode_physics_tpu.ops import joints as jt
 from rl_ode_physics_tpu.utils import quat as quat_m
+import pytest
 
 CFG = EngineConfig(max_bodies=8, max_pair_candidates=32, max_contacts=32)
 
@@ -59,6 +60,7 @@ def test_ball_pendulum_holds_anchor():
     assert abs(d - 1.0) < 0.06
 
 
+@pytest.mark.slow
 def test_ball_pendulum_pgs_matches_jacobi_roughly():
     cfg_j, w, joints = _pendulum()
     cfg_p, _, _ = _pendulum(solver=SolverKind.PGS)
@@ -294,6 +296,7 @@ def test_universal_keeps_axes_perpendicular():
         assert np.linalg.norm(pa - pb) < 0.06
 
 
+@pytest.mark.slow
 def test_hinge_stop_bounce():
     """dParamBounce: with bounce=0.8 the door rebounds off the stop with
     a substantial fraction of its approach speed; with bounce=0 it stays."""

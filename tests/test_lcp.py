@@ -50,6 +50,7 @@ def _contact_state(num_bodies=10, seed=42, settle=300):
     return w, contacts
 
 
+@pytest.mark.slow
 def test_dantzig_analytic_single_contact():
     """Head-on overlapping spheres, no friction: λ = (target − v_n)/
     (m_a⁻¹ + m_b⁻¹ + cfm/h) exactly (single-row LCP)."""
@@ -230,6 +231,7 @@ def test_dantzig_per_body_surface_is_the_pgs_limit():
     assert err < 1e-3, err
 
 
+@pytest.mark.slow
 def test_dantzig_trajectory_vs_referee_direct(tmp_path):
     """1k-step sphere-drop: engine DANTZIG vs the referee's independent
     direct solve — unique solution ⇒ machine-precision tracking."""

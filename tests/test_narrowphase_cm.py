@@ -64,6 +64,7 @@ def _contact_dict(c, n, k):
 
 
 @pytest.mark.parametrize("capsules", [False, True])
+@pytest.mark.slow
 def test_cm_contacts_match_row_major(capsules):
     cfg_rm = EngineConfig(cm_narrowphase=False, enable_planes=False,
                           enable_capsules=capsules, **BASE)
@@ -100,6 +101,7 @@ def test_cm_contacts_match_row_major(capsules):
             np.testing.assert_allclose(dep0, dep1, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cm_trajectory_matches_row_major():
     """300 substeps of the bench-style scene: resting heights and energy
     must agree to f32-trajectory tolerance between the two layouts."""
@@ -131,6 +133,7 @@ def test_cm_fallback_conditions():
     assert cm.supports_cm(cfg.replace(max_contacts_per_pair=8))
 
 
+@pytest.mark.slow
 def test_cm_with_planes_and_k8():
     """Plane kernels + K=8 (no folding) path."""
     cfg_rm = EngineConfig(max_bodies=16, max_pair_candidates=64,

@@ -9,6 +9,10 @@ import numpy as np
 from examples.rl_training import make_trainer
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_es_training_improves_reward():
     params, train_step = make_trainer(pop=12, horizon=25)
     key = jax.random.PRNGKey(0)

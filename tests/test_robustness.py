@@ -8,8 +8,10 @@ from rl_ode_physics_tpu.core.config import EngineConfig
 from rl_ode_physics_tpu.core.state import BodyType
 from rl_ode_physics_tpu.core.world import add_body, make_step_fn
 from rl_ode_physics_tpu.models import scenes
+import pytest
 
 
+@pytest.mark.slow
 def test_long_run_no_nans_bounded_energy():
     """2,400 substeps (20 s) of the contact-rich bench scene: every state
     stays finite and kinetic energy decays to near rest."""
@@ -30,6 +32,7 @@ def test_long_run_no_nans_bounded_energy():
     assert np.allclose(norms, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tall_tower_survives():
     """6-box tower (beyond the 3-box test): Jacobi keeps it standing."""
     cfg = EngineConfig(max_bodies=16, max_pair_candidates=64,
@@ -46,6 +49,7 @@ def test_tall_tower_survives():
         assert abs(y - (1.0 + i)) < 0.25, (i, ys)
 
 
+@pytest.mark.slow
 def test_reference_capacity_512_slots():
     """The reference's full MAX_BODIES=512 capacity compiles and steps."""
     cfg = EngineConfig()        # defaults: 512 slots
@@ -57,6 +61,7 @@ def test_reference_capacity_512_slots():
     assert np.all(np.isfinite(np.asarray(w.pos)))
 
 
+@pytest.mark.slow
 def test_overflow_is_loud_on_default_path():
     """VERDICT r2 item 4: a scene exceeding the configured contact capacity
     must degrade VISIBLY — the cumulative dropped-row counter lives on the

@@ -22,6 +22,7 @@ from rl_ode_physics_tpu.core.state import BodyType
 from rl_ode_physics_tpu.core.world import make_step_fn
 from rl_ode_physics_tpu.models import scenes
 from rl_ode_physics_tpu.ops import narrowphase as np_ops
+import pytest
 
 BASE = dict(max_bodies=32, max_pair_candidates=256, max_contacts=256,
             typed_buckets=True, cm_narrowphase=True,
@@ -77,6 +78,7 @@ def _canon_contacts(c, n, k):
     return out
 
 
+@pytest.mark.slow
 def test_sap_matches_dense_sphere_pile():
     cfg_d = EngineConfig(**BASE)
     cfg_s = cfg_d.replace(sap_window=12)
@@ -93,6 +95,7 @@ def test_sap_matches_dense_sphere_pile():
             np.testing.assert_allclose(v_d, v_s, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sap_trajectory_matches_dense_mixed_pile():
     cfg_d = EngineConfig(**BASE)
     cfg_s = cfg_d.replace(sap_window=20)
@@ -111,6 +114,7 @@ def test_sap_trajectory_matches_dense_mixed_pile():
     assert np.abs(p_s).max() < 10.0
 
 
+@pytest.mark.slow
 def test_sap_window_miss_is_loud():
     """A window too small for the scene's x-overlap occupancy must count
     misses into overflow — never silently drop pairs."""
@@ -140,6 +144,7 @@ def test_sap_config_validation():
                      sap_window=8).validate()
 
 
+@pytest.mark.slow
 def test_sap_composes_with_trimesh_extra():
     """Static-trimesh manifolds enter narrowphase_typed as the ``extra``
     payload, independent of the pair phase — SAP must compose: same mesh

@@ -12,6 +12,7 @@ from rl_ode_physics_tpu.core.config import EngineConfig, SolverKind
 from rl_ode_physics_tpu.core.state import BodyType
 from rl_ode_physics_tpu.core.world import make_step_fn, set_body_surface
 from rl_ode_physics_tpu.models.builder import WorldBuilder
+import pytest
 
 CFG = EngineConfig(max_bodies=8, max_pair_candidates=32, max_contacts=32,
                    per_body_surface=True)
@@ -25,6 +26,7 @@ def _floor_world(*bodies):
     return b.finish()
 
 
+@pytest.mark.slow
 def test_defaults_match_global_path():
     """per_body_surface=True with untouched fields reproduces the global
     path (fields initialize from config.mu/config.bounce)."""
@@ -41,6 +43,7 @@ def test_defaults_match_global_path():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_per_body_restitution_controls_bounce():
     """Two identical spheres dropped together; the rubbery one (0.8)
     rebounds much higher than the dead one (0.0)."""
@@ -80,6 +83,7 @@ def test_per_body_friction_controls_sliding():
     assert v_grip < 0.5, f"inf-friction box kept sliding: {v_grip}"
 
 
+@pytest.mark.slow
 def test_pgs_honors_per_body_mu():
     cfg = CFG.replace(solver=SolverKind.PGS)
     w = _floor_world((BodyType.BOX, (0.0, 0.4, 0.0), (0.8, 0.8, 0.8)))
@@ -91,6 +95,7 @@ def test_pgs_honors_per_body_mu():
     assert float(w.linvel[1, 0]) > 3.0
 
 
+@pytest.mark.slow
 def test_surface_params_compose_with_typed_buckets():
     """per_body_surface works through the typed-bucket narrowphase path."""
     cfg = CFG.replace(typed_buckets=True)
@@ -103,6 +108,7 @@ def test_surface_params_compose_with_typed_buckets():
     assert float(w.linvel[1, 0]) > 3.0
 
 
+@pytest.mark.slow
 def test_surface_params_compose_with_warmstart():
     import jax as _jax
     from rl_ode_physics_tpu.ops.warmstart import make_warm_step_fn, init_cache
@@ -119,6 +125,7 @@ def test_surface_params_compose_with_warmstart():
     assert abs(float(w.linvel[1, 1])) < 0.05
 
 
+@pytest.mark.slow
 def test_surface_params_apply_to_trimesh_contacts():
     """VERDICT round-2 item 5b: per-body friction reaches MESH contact rows.
 

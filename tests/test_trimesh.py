@@ -62,6 +62,7 @@ def test_sphere_mesh_contact_depth():
     assert np.allclose(np.asarray(nrm[0]), [0, -1, 0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sphere_settles_on_mesh_floor():
     verts, tris = grid_floor_mesh(n=8, size=10.0, y=0.0)
     b = WorldBuilder(CFG, 0)

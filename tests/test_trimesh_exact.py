@@ -20,6 +20,7 @@ from rl_ode_physics_tpu.models.builder import WorldBuilder
 from rl_ode_physics_tpu.ops import trimesh as tm
 
 from tests.test_trimesh import grid_floor_mesh
+import pytest
 
 CFG = EngineConfig(max_bodies=8, max_pair_candidates=32, max_contacts=64)
 
@@ -38,6 +39,7 @@ def _contacts_for(world, mesh):
             np.asarray(dep)[val], np.asarray(a)[val])
 
 
+@pytest.mark.slow
 def test_box_flat_rest_support_polygon():
     """Box sunk 0.01 into a coarse two-cell floor: the manifold must be 4
     distinct corner contacts with equal depths and -y normals (the

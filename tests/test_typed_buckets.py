@@ -16,6 +16,7 @@ from rl_ode_physics_tpu.core.world import make_step_fn, step
 from rl_ode_physics_tpu.models import scenes
 from rl_ode_physics_tpu.ops import broadphase as bp
 from rl_ode_physics_tpu.ops import narrowphase as nphase
+import pytest
 
 CFG = EngineConfig(max_bodies=16, max_pair_candidates=64, max_contacts=128,
                    max_contacts_per_pair=8)
@@ -91,6 +92,7 @@ def test_typed_bucket_cap_override_and_overflow():
     assert np.isfinite(np.asarray(s.pos)).all()
 
 
+@pytest.mark.slow
 def test_solver_cm_matches_row_major():
     """config.solver_cm (component-major JACOBI loop — contacts in lanes)
     vs the row-major loop on a contact-rich settled bench state: identical

@@ -6,6 +6,7 @@ import sys
 from rl_ode_physics_tpu.core.config import EngineConfig
 from rl_ode_physics_tpu.models import scenes
 from rl_ode_physics_tpu.utils.viz import dump_obj
+import pytest
 
 CFG = EngineConfig(max_bodies=8, max_pair_candidates=32, max_contacts=64)
 
@@ -20,6 +21,7 @@ def test_dump_obj(tmp_path):
     assert "v " in text and "f " in text
 
 
+@pytest.mark.slow
 def test_cli_server_client_session():
     """End-to-end over the CLI: headless server + spawning client."""
     import socket
